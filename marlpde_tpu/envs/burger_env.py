@@ -1,0 +1,306 @@
+"""Burgers subgrid-closure environment: DNS ground truth, coarse LES with
+per-gridpoint action forcing, MSE or spectral-energy rewards.
+
+Parity target: burger_environment.py (episode protocol at :18-204) with the
+Burger solver (Burger.py).  The reference's korali-callback episode loop
+becomes a pure (reset, step) pair over immutable pytrees:
+
+  * reset:  pick DNS from pool (episodeCount % ndns, :54-55), draw the random
+    phase offset, transplant the IC (spectral restriction + phase shift :109-119
+    or cubic interpolation of the truth), copy forcing tables (:99-100)
+  * step:   one macro-step = nIntermediate solver sub-steps (:148-149) with the
+    action field (actions @ basis) held fixed, followed by the reward:
+      - MSE:       mean over sub-steps of per-agent -(truth - u)^2 means (:152-153)
+      - spectral:  decrement of the cumulative-spectrum relative error
+                   r_t = prevErr - err,
+                   err = mean(((|Ek_dns - Ek_sgs|)/Ek_dns)[1:g/2])^2 (:172-176)
+    NaN/Inf guards set done + the truncation penalty (:164-167, 181-184, 198-201)
+
+The DNS pool is precomputed once on device (trajectory, cumulative spectrum,
+spline coefficients for the cubic truth interpolant) and shared by all
+vmapped envs — env state holds only the pool index.
+
+Episodes are fixed-length (episodeLength macro-steps); `done` freezes the env.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from marlpde_tpu.core import basis as basis_mod
+from marlpde_tpu.core import ic, interp, spectral
+from marlpde_tpu.envs import features
+from marlpde_tpu.solvers import burger
+
+
+@dataclasses.dataclass(frozen=True, eq=True)
+class BurgerEnvConfig:
+    """Mirrors run-vracer-burger.py:5-34 defaults."""
+
+    N_dns: int = 512
+    grid_size: int = 32
+    num_actions: int = 32
+    num_agents: int = 1
+    L: float = 2.0 * np.pi
+    dt: float = 0.001
+    T: float = 5.0
+    nu: float = 0.02
+    episode_length: int = 500
+    ic_case: str = "sinus"           # 'sinus' | 'turbulence' | 'zero' | 'forced'
+    spectral_reward: bool = False
+    forcing: bool = False
+    dforce: bool = True
+    ssmforce: bool = False
+    noise: float = 0.0               # offset stddev in units of L (Burger.py:54)
+    seed: int = 42
+    stepper: int = 1
+    nunoise: bool = False
+    version: int = 0
+    ssm: bool = False
+    dsm: bool = False
+    basis_kind: str = "hat"          # burger_environment.py:9
+    scheme: str = "abcn"             # 'fd' gives the Burger_fd env
+    reward_factor: float = 1.0
+    truncation_penalty: float = -np.inf   # burger_environment.py:200
+
+    @property
+    def n_dns_steps(self) -> int:
+        return int(self.T / self.dt)
+
+    @property
+    def n_intermediate(self) -> int:
+        n = int(self.T / self.dt / self.episode_length)
+        assert n > 0, "dt or episodeLength too long (burger_environment.py:130)"
+        return n
+
+    @property
+    def dns_solver(self) -> burger.BurgerConfig:
+        return burger.BurgerConfig(N=self.N_dns, L=self.L, dt=self.dt, nu=self.nu,
+                                   stepper=self.stepper, forcing=self.forcing)
+
+    @property
+    def les_solver(self) -> burger.BurgerConfig:
+        return burger.BurgerConfig(N=self.grid_size, L=self.L, dt=self.dt, nu=self.nu,
+                                   stepper=self.stepper, forcing=self.forcing,
+                                   dforce=self.dforce, ssmforce=self.ssmforce,
+                                   ssm=self.ssm, dsm=self.dsm, scheme=self.scheme)
+
+    @property
+    def obs_dim(self) -> int:
+        return features.obs_dim(self.version, self.grid_size, self.num_agents)
+
+    @property
+    def actions_per_agent(self) -> int:
+        return self.num_actions // self.num_agents
+
+
+class DnsPool(struct.PyTreeNode):
+    """Precomputed DNS ground truth shared by all envs (leading axis = pool)."""
+
+    uu: jax.Array        # (P, T+1, N_dns) trajectory
+    spline_m: jax.Array  # (P, T+1, N_dns) periodic-spline coefficients of uu
+    v0: jax.Array        # (P, N_dns) complex IC spectrum
+    ek_ktt: jax.Array    # (P, T+1, g//2) cumulative-mean spectrum, cols 0..g/2-1
+    nu: jax.Array        # (P,)
+    randfac1: jax.Array  # (P, 4, s)
+    randfac2: jax.Array  # (P, 4, s)
+
+
+class BurgerEnvState(struct.PyTreeNode):
+    solver: burger.BurgerState
+    u_prev: jax.Array        # previous sub-step field (for the dudt feature)
+    sidx: jax.Array          # int32 DNS pool index
+    macro_step: jax.Array    # int32
+    ek_sum: jax.Array        # (g,) running sum of LES Ek_kt incl. IC frame
+    prev_rel_err: jax.Array  # scalar
+    done: jax.Array          # bool
+    cum_reward: jax.Array    # (num_agents,)
+
+
+@lru_cache(maxsize=32)
+def action_basis(cfg: BurgerEnvConfig) -> np.ndarray:
+    return basis_mod.make_basis(cfg.num_actions, cfg.grid_size, cfg.L, cfg.basis_kind)
+
+
+def _dns_ic(cfg: BurgerEnvConfig, seed, key, dtype):
+    g = cfg.dns_solver.grid
+    x = jnp.asarray(g.x, dtype)
+    if cfg.ic_case == "sinus":
+        return ic.burger_sinus(0.0, x, cfg.L)
+    if cfg.ic_case == "turbulence":
+        return ic.burger_turbulence(seed, 0.0, x, cfg.L, dtype=dtype)
+    if cfg.ic_case == "zero":
+        return jnp.zeros(cfg.N_dns, dtype)
+    if cfg.ic_case == "forced":
+        return ic.burger_forced(key, x, cfg.L)
+    raise ValueError(f"[burger_env] unknown ic {cfg.ic_case}")
+
+
+def make_dns_pool(cfg: BurgerEnvConfig, n_dns: int, key=None,
+                  dtype=jnp.float32) -> DnsPool:
+    """Simulate the DNS pool (burger_environment.py:11-16, seeds seed+i per
+    run-vracer-burger.py:47) and precompute reward/interp tables."""
+    if key is None:
+        key = jax.random.key(cfg.seed)
+    dcfg = cfg.dns_solver
+    g = dcfg.grid
+    dx = g.dx
+
+    def build(i, k):
+        kf, kn, kic = jax.random.split(k, 3)
+        rf1, rf2 = burger.draw_forcing_tables(kf, cfg.stepper, dtype)
+        nu = jnp.asarray(cfg.nu, dtype)
+        if cfg.nunoise:
+            nu = 0.01 + 0.02 * jax.random.uniform(kn, dtype=dtype)
+        u0 = _dns_ic(cfg, cfg.seed + i, kic, dtype)
+        st = burger.init(dcfg, u0=u0, nu=nu, randfac1=rf1, randfac2=rf2)
+        _, uu, vv = burger.simulate(dcfg, st, cfg.n_dns_steps)
+        ek_kt = spectral.energy_spectrum(vv, dx)
+        ek_ktt = spectral.cumulative_mean(ek_kt, axis=0)[:, : cfg.grid_size // 2]
+        m = interp.periodic_spline_m(uu)
+        return dict(uu=uu, spline_m=m, v0=vv[0], ek_ktt=ek_ktt, nu=nu,
+                    randfac1=rf1, randfac2=rf2)
+
+    keys = jax.random.split(key, n_dns)
+    rows = [build(i, keys[i]) for i in range(n_dns)]
+    stacked = {k: jnp.stack([r[k] for r in rows]) for k in rows[0]}
+    return DnsPool(**stacked)
+
+
+def _pool_row(pool: DnsPool, sidx):
+    return jax.tree.map(lambda a: a[sidx], pool)
+
+
+def _draw_offset(cfg: BurgerEnvConfig, key, dtype):
+    """offset ~ N(0, noise*L) conditioned on |offset| <= L (Burger.py:53-57)."""
+    if cfg.noise <= 0.0:
+        return jnp.zeros((), dtype)
+    sigma = cfg.noise * cfg.L
+    lim = cfg.L / sigma
+    return sigma * jax.random.truncated_normal(key, -lim, lim, dtype=dtype)
+
+
+def reset(cfg: BurgerEnvConfig, pool: DnsPool, key, episode_count):
+    """Start an episode; returns (state, obs)."""
+    n_pool = pool.nu.shape[0]
+    sidx = jnp.asarray(episode_count % n_pool, jnp.int32)
+    row = _pool_row(pool, sidx)
+    dtype = row.uu.dtype
+    offset = _draw_offset(cfg, key, dtype)
+    lcfg = cfg.les_solver
+    g = cfg.grid_size
+
+    dns_k = jnp.asarray(cfg.dns_solver.grid.k, dtype)
+    if cfg.spectral_reward:
+        # spectral restriction + phase shift (burger_environment.py:110-112)
+        v0off = spectral.phase_shift(row.v0, offset, dns_k)
+        v0 = spectral.restrict_modes(v0off, g)
+        st = burger.init(lcfg, v0=v0, nu=row.nu, offset=offset,
+                         randfac1=row.randfac1, randfac2=row.randfac2)
+    else:
+        # interpolate the truth at the shifted coarse grid (burger_environment.py:114-119)
+        newx = interp.shifted_query_points(
+            jnp.asarray(lcfg.grid.x, dtype), offset, cfg.L)
+        u0 = interp.periodic_spline_eval(row.uu[0], row.spline_m[0], newx, cfg.L)
+        st = burger.init(lcfg, u0=u0, nu=row.nu, offset=offset,
+                         randfac1=row.randfac1, randfac2=row.randfac2)
+
+    ek0 = spectral.energy_spectrum(st.v, lcfg.grid.dx)
+    state = BurgerEnvState(
+        solver=st, u_prev=st.u, sidx=sidx,
+        macro_step=jnp.zeros((), jnp.int32),
+        ek_sum=ek0,
+        prev_rel_err=jnp.zeros((), dtype),
+        done=jnp.zeros((), bool),
+        cum_reward=jnp.zeros(cfg.num_agents, dtype))
+    return state, _observe(cfg, state)
+
+
+def _observe(cfg: BurgerEnvConfig, state: BurgerEnvState):
+    return features.burger_features(
+        cfg.version, cfg.num_agents, state.solver.u, state.u_prev,
+        state.solver.v, cfg.dt, cfg.les_solver.grid.dx)
+
+
+def _mse_rewards(cfg: BurgerEnvConfig, pool_row, solver_state):
+    """Per-agent -(truth(x+offset, t) - u)^2 means (Burger.py:578-601)."""
+    dtype = solver_state.u.dtype
+    newx = interp.shifted_query_points(
+        jnp.asarray(cfg.les_solver.grid.x, dtype), solver_state.offset, cfg.L)
+    fidx = interp.frame_index(solver_state.t, cfg.dt, pool_row.uu.shape[0])
+    truth = interp.periodic_spline_eval(pool_row.uu[fidx], pool_row.spline_m[fidx],
+                                        newx, cfg.L)
+    sq = (truth - solver_state.u) ** 2
+    return -features.agent_block_mean(sq, cfg.num_agents)
+
+
+def step(cfg: BurgerEnvConfig, pool: DnsPool, state: BurgerEnvState,
+         actions: jax.Array):
+    """One macro-step.  actions: (num_agents, actions_per_agent) or (num_actions,).
+
+    Returns (state, obs, reward (num_agents,), done, info).
+    """
+    row = _pool_row(pool, state.sidx)
+    dtype = state.solver.u.dtype
+    lcfg = cfg.les_solver
+    dx = lcfg.grid.dx
+    B = jnp.asarray(action_basis(cfg), dtype)
+    action_field = actions.reshape(-1) @ B          # Burger.py:437,442
+
+    def sub_step(carry, _):
+        sol, ek_sum, mse_acc, u_prev = carry
+        new_sol, _aux = burger.step(lcfg, sol, action_field)
+        ek_sum = ek_sum + spectral.energy_spectrum(new_sol.v, dx)
+        if not cfg.spectral_reward:
+            mse_acc = mse_acc + _mse_rewards(cfg, row, new_sol) / cfg.n_intermediate
+        return (new_sol, ek_sum, mse_acc, sol.u), None
+
+    init_carry = (state.solver, state.ek_sum,
+                  jnp.zeros(cfg.num_agents, dtype), state.u_prev)
+    (sol, ek_sum, mse_acc, u_prev), _ = jax.lax.scan(
+        sub_step, init_carry, None, length=cfg.n_intermediate)
+
+    if cfg.spectral_reward:
+        # cumulative-mean spectra at the current LES step (burger_environment.py:172-176)
+        count = (sol.ioutnum + 1).astype(dtype)
+        sgs_ektt = ek_sum[1: cfg.grid_size // 2] / count
+        dns_ektt = row.ek_ktt[sol.ioutnum, 1: cfg.grid_size // 2]
+        rel_err = jnp.mean(((jnp.abs(dns_ektt - sgs_ektt)) / dns_ektt) ** 2)
+        reward = jnp.full(cfg.num_agents, cfg.reward_factor * (state.prev_rel_err - rel_err))
+        new_prev = rel_err
+    else:
+        reward = cfg.reward_factor * mse_acc
+        new_prev = state.prev_rel_err
+
+    obs_ok = jnp.isfinite(sol.u).all()
+    rew_ok = jnp.isfinite(reward).all()
+    blown = ~(obs_ok & rew_ok)
+    reward = jnp.where(blown, jnp.asarray(cfg.truncation_penalty, dtype), reward)
+
+    macro = state.macro_step + 1
+    done = blown | (macro >= cfg.episode_length) | state.done
+
+    # freeze everything once done (fixed-length rollouts with masking)
+    def keep_old(new, old):
+        return jax.tree.map(
+            lambda n, o: jnp.where(
+                jnp.reshape(state.done, (1,) * n.ndim), o, n), new, old)
+
+    sol = keep_old(sol, state.solver)
+    new_state = BurgerEnvState(
+        solver=sol, u_prev=jnp.where(state.done, state.u_prev, u_prev),
+        sidx=state.sidx, macro_step=jnp.where(state.done, state.macro_step, macro),
+        ek_sum=jnp.where(state.done, state.ek_sum, ek_sum),
+        prev_rel_err=jnp.where(state.done, state.prev_rel_err, new_prev),
+        done=done,
+        cum_reward=state.cum_reward + jnp.where(state.done, 0.0, reward))
+    reward = jnp.where(state.done, jnp.zeros_like(reward), reward)
+    obs = _observe(cfg, new_state)
+    obs = jnp.where(jnp.isfinite(obs), obs, 0.0)
+    return new_state, obs, reward, done, dict(blown=blown)

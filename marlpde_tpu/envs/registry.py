@@ -1,0 +1,127 @@
+"""Workload registry: each reference driver becomes a config preset producing a
+uniform functional Env (envs/rollout.py).
+
+Driver map (reference -> preset name):
+  run-vracer-burger.py            -> 'burger'
+  run-vracer-burger-marl.py       -> 'burger-marl'
+  run-vracer-burger-fd.py         -> 'burger-fd'
+  run-vracer-ks.py                -> 'ks'
+  run-vracer-diffusion-simple.py  -> 'diffusion-simple'
+  run-vracer-diffusion.py         -> 'diffusion-stencil3'
+  run-vracer-diffusion-error.py   -> 'diffusion-error'
+  run-vracer-advection-simple.py  -> 'advection-simple'
+  run-vracer-laplace.py           -> 'laplace'
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax.numpy as jnp
+
+from marlpde_tpu.envs import (advection_env, burger_env, diffusion_env, ks_env,
+                              laplace_env)
+from marlpde_tpu.envs.rollout import Env
+
+
+def make_burger_env(cfg: burger_env.BurgerEnvConfig = None, n_dns: int = 1,
+                    pool=None, dtype=jnp.float32, **overrides) -> Env:
+    if cfg is None:
+        cfg = burger_env.BurgerEnvConfig(**overrides)
+    elif overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+    if pool is None:
+        pool = burger_env.make_dns_pool(cfg, n_dns, dtype=dtype)
+    name = "burger-fd" if cfg.scheme == "fd" else (
+        "burger-marl" if cfg.num_agents > 1 else "burger")
+    return Env(
+        name=name, cfg=cfg,
+        reset=partial(burger_env.reset, cfg, pool),
+        step=partial(burger_env.step, cfg, pool),
+        obs_dim=cfg.obs_dim, num_agents=cfg.num_agents,
+        act_dim=cfg.actions_per_agent, episode_length=cfg.episode_length,
+        action_low=-5.0, action_high=5.0)   # run-vracer-burger.py:156-157
+
+
+def make_ks_env(cfg: ks_env.KSEnvConfig = None, n_dns: int = 1, pool=None,
+                dtype=jnp.float32, **overrides) -> Env:
+    if cfg is None:
+        cfg = ks_env.KSEnvConfig(**overrides)
+    elif overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+    if pool is None:
+        pool = ks_env.make_dns_pool(cfg, n_dns, dtype=dtype)
+    return Env(
+        name="ks", cfg=cfg,
+        reset=partial(ks_env.reset, cfg, pool),
+        step=partial(ks_env.step, cfg, pool),
+        obs_dim=cfg.obs_dim, num_agents=cfg.num_agents,
+        act_dim=cfg.actions_per_agent, episode_length=cfg.episode_length,
+        action_low=-0.5, action_high=0.5)   # run-vracer-ks.py action bounds
+
+
+def make_diffusion_env(cfg: diffusion_env.DiffusionEnvConfig = None,
+                       **overrides) -> Env:
+    if cfg is None:
+        cfg = diffusion_env.DiffusionEnvConfig(**overrides)
+    elif overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+    name = {"simple": "diffusion-simple", "error": "diffusion-error",
+            "stencil3": "diffusion-stencil3"}[cfg.mode]
+    lo, hi = (-0.1, 0.1) if cfg.mode == "error" else (-5.0, 5.0)
+    return Env(
+        name=name, cfg=cfg,
+        reset=partial(diffusion_env.reset, cfg),
+        step=partial(diffusion_env.step, cfg),
+        obs_dim=cfg.obs_dim, num_agents=cfg.num_agents,
+        act_dim=cfg.actions_per_agent, episode_length=cfg.episode_length,
+        action_low=lo, action_high=hi)      # run-vracer-diffusion-simple.py:95-96
+
+
+def make_advection_env(cfg: advection_env.AdvectionEnvConfig = None,
+                       **overrides) -> Env:
+    if cfg is None:
+        cfg = advection_env.AdvectionEnvConfig(**overrides)
+    elif overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+    return Env(
+        name="advection-simple", cfg=cfg,
+        reset=partial(advection_env.reset, cfg),
+        step=partial(advection_env.step, cfg),
+        obs_dim=cfg.obs_dim, num_agents=cfg.num_agents,
+        act_dim=cfg.actions_per_agent, episode_length=cfg.episode_length,
+        action_low=-2.0, action_high=2.0)   # run-vracer-advection-simple.py:95-96
+
+
+def make_laplace_env(cfg: laplace_env.LaplaceEnvConfig = None, **overrides) -> Env:
+    if cfg is None:
+        cfg = laplace_env.LaplaceEnvConfig(**overrides)
+    elif overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+    return Env(
+        name="laplace", cfg=cfg,
+        reset=partial(laplace_env.reset, cfg),
+        step=partial(laplace_env.step, cfg),
+        obs_dim=cfg.obs_dim, num_agents=cfg.num_agents,
+        act_dim=cfg.actions_per_agent, episode_length=cfg.episode_length,
+        action_low=-3.0, action_high=3.0)   # run-vracer-laplace.py:85-86
+
+
+MAKERS = {
+    "burger": make_burger_env,
+    "burger-marl": lambda **kw: make_burger_env(num_agents=kw.pop("num_agents", 32), **kw),
+    "burger-fd": lambda **kw: make_burger_env(scheme="fd", **kw),
+    "ks": make_ks_env,
+    "diffusion-simple": make_diffusion_env,
+    "diffusion-error": lambda **kw: make_diffusion_env(mode="error", **kw),
+    "diffusion-stencil3": lambda **kw: make_diffusion_env(mode="stencil3", **kw),
+    "advection-simple": make_advection_env,
+    "laplace": make_laplace_env,
+}
+
+
+def make_env(name: str, **overrides) -> Env:
+    if name not in MAKERS:
+        raise ValueError(f"[registry] unknown env '{name}'; have {sorted(MAKERS)}")
+    return MAKERS[name](**overrides)

@@ -1,0 +1,47 @@
+"""Clipped-Normal policy distribution (korali's "Clipped Normal", run-vracer-burger.py:169).
+
+A normal N(mu, sigma) whose samples are clipped to [lb, ub]; the density has
+point masses Phi((lb-mu)/sigma) and 1-Phi((ub-mu)/sigma) at the bounds.
+Log-probabilities, sampling, and the normal KL (used for the REFER
+far-policy penalization) are all elementwise over action dims.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LOG_SQRT_2PI = 0.5 * np.log(2.0 * np.pi)
+
+
+def sample(key, mu, sigma, lb, ub):
+    z = mu + sigma * jax.random.normal(key, mu.shape, mu.dtype)
+    return jnp.clip(z, lb, ub)
+
+
+def log_prob(a, mu, sigma, lb, ub):
+    """Per-dimension log density/mass of the clipped normal."""
+    z = (a - mu) / sigma
+    log_pdf = -0.5 * z * z - jnp.log(sigma) - LOG_SQRT_2PI
+    log_cdf_lo = jax.scipy.stats.norm.logcdf((lb - mu) / sigma)
+    log_sf_hi = jax.scipy.stats.norm.logsf((ub - mu) / sigma)
+    out = jnp.where(a <= lb, log_cdf_lo, jnp.where(a >= ub, log_sf_hi, log_pdf))
+    return out
+
+
+def joint_log_prob(a, mu, sigma, lb, ub):
+    """Summed over the trailing action-dim axis."""
+    return log_prob(a, mu, sigma, lb, ub).sum(-1)
+
+
+def kl_normal(mu_b, sigma_b, mu, sigma):
+    """KL(N(mu_b, sigma_b) || N(mu, sigma)), summed over trailing axis.
+
+    The REFER penalization pushes the current policy toward the behavior that
+    generated a far-policy sample (Novati & Koumoutsakos 2019, eq. 8).
+    """
+    var_b = sigma_b * sigma_b
+    var = sigma * sigma
+    kl = jnp.log(sigma / sigma_b) + (var_b + (mu - mu_b) ** 2) / (2.0 * var) - 0.5
+    return kl.sum(-1)

@@ -1,0 +1,37 @@
+"""VRACER network: one MLP trunk emitting V(s), policy mean, and policy stddev.
+
+Parity target: the korali function approximator configured by the drivers —
+2 hidden Linear(width) + Tanh layers on OneDNN, Adam (run-vracer-burger.py:175-190),
+with a single network for value + policy (that is what makes it V-RACER).
+
+sigma is parameterized as softplus(raw) scaled so that raw=0 gives the
+driver's "Initial Exploration Noise" (run-vracer-burger.py:158).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+
+class VracerNet(nn.Module):
+    act_dim: int
+    width: int = 128
+    n_hidden: int = 2
+    init_noise: float = 0.1       # initial sigma (iex)
+    sigma_floor: float = 1e-5
+
+    @nn.compact
+    def __call__(self, obs):
+        h = obs
+        for _ in range(self.n_hidden):
+            h = nn.tanh(nn.Dense(self.width)(h))
+        v = nn.Dense(1)(h)[..., 0]
+        mu = nn.Dense(self.act_dim)(h)
+        raw = nn.Dense(self.act_dim, kernel_init=nn.initializers.zeros)(h)
+        # softplus(0) = log 2, so raw=0 yields sigma = init_noise exactly
+        sigma = nn.softplus(raw) * (self.init_noise / float(np.log(2.0))) + self.sigma_floor
+        return v, mu, sigma

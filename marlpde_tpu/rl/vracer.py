@@ -1,0 +1,242 @@
+"""V-RACER: off-policy actor-critic with REFER (Remember-and-Forget Experience
+Replay), in pure JAX — the in-framework replacement for the korali C++ engine.
+
+Algorithm per Novati & Koumoutsakos, "Remember and Forget for Experience
+Replay" (ICML 2019), with the configuration surface the reference drivers use
+(run-vracer-burger.py:127-195):
+  * single network for V(s), policy mean and stddev (networks.VracerNet)
+  * Clipped Normal policy, state & reward rescaling
+  * V-trace value targets along stored episodes (one-sample clipped IS)
+  * policy gradient rho_t * A_t * grad log pi for near-policy samples
+    (1/c < rho < c), KL(behavior || pi) attraction for far-policy samples
+  * adaptive beta mixing toward the target off-policy fraction D=0.1
+  * cutoff annealing c = c0 / (1 + anneal_rate * n_updates)
+
+Deviations from korali (documented design choices):
+  * minibatches are whole episodes (K episodes/update) rather than 256 iid
+    experiences — V-trace tails are then exact under the current network
+    instead of korali's lazily-refreshed stored estimators; TPU-friendly.
+  * optimizer is optax.adam with the driver's learning rate.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from marlpde_tpu.rl import distributions as D
+from marlpde_tpu.rl import networks, replay, running_stats
+
+
+@dataclasses.dataclass(frozen=True, eq=True)
+class VracerConfig:
+    obs_dim: int
+    act_dim: int
+    num_agents: int = 1
+    episode_length: int = 500
+    # korali solver settings (run-vracer-burger.py:127-171)
+    gamma: float = 1.0
+    lr: float = 1e-4
+    width: int = 128
+    n_hidden: int = 2
+    mini_batch_episodes: int = 2
+    experiences_between_updates: float = 0.5
+    replay_start_experiences: int = 20000
+    replay_max_experiences: int = 100000
+    cutoff_scale: float = 4.0
+    annealing_rate: float = 5e-8
+    refer_beta: float = 0.3
+    offpolicy_target: float = 0.1
+    action_low: float = -5.0
+    action_high: float = 5.0
+    init_noise: float = 0.1       # iex
+    state_rescaling: bool = True
+    reward_rescaling: bool = True
+    multi_agent_relationship: str = "individual"   # 'individual' | 'cooperation'
+    multi_agent_correlation: bool = False
+    value_coef: float = 1.0
+    max_grad_norm: float = 10.0
+
+    @property
+    def replay_capacity_episodes(self) -> int:
+        return max(self.replay_max_experiences // self.episode_length, 1)
+
+    @property
+    def replay_start_episodes(self) -> int:
+        return max(self.replay_start_experiences // self.episode_length, 1)
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    beta: jax.Array
+    n_updates: jax.Array
+    obs_stats: running_stats.RunningStats
+    rew_stats: running_stats.RunningStats
+
+
+def make_net(cfg: VracerConfig) -> networks.VracerNet:
+    return networks.VracerNet(act_dim=cfg.act_dim, width=cfg.width,
+                              n_hidden=cfg.n_hidden, init_noise=cfg.init_noise)
+
+
+def make_optimizer(cfg: VracerConfig):
+    return optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
+                       optax.adam(cfg.lr))
+
+
+def init_train(cfg: VracerConfig, key, dtype=jnp.float32) -> TrainState:
+    net = make_net(cfg)
+    params = net.init(key, jnp.zeros((1, cfg.obs_dim), dtype))
+    opt_state = make_optimizer(cfg).init(params)
+    return TrainState(
+        params=params, opt_state=opt_state,
+        beta=jnp.asarray(cfg.refer_beta, dtype),
+        n_updates=jnp.zeros((), jnp.int32),
+        obs_stats=running_stats.init((cfg.obs_dim,), dtype),
+        rew_stats=running_stats.init((), dtype))
+
+
+def policy_apply(cfg: VracerConfig, ts: TrainState, obs):
+    """obs (..., obs_dim) -> (V, mu, sigma)."""
+    x = running_stats.normalize(ts.obs_stats, obs) if cfg.state_rescaling else obs
+    return make_net(cfg).apply(ts.params, x)
+
+
+def act(cfg: VracerConfig, ts: TrainState, obs, key):
+    """Sample actions; returns (actions, mu, sigma).  obs: (..., na, obs_dim)."""
+    _, mu, sigma = policy_apply(cfg, ts, obs)
+    a = D.sample(key, mu, sigma, cfg.action_low, cfg.action_high)
+    return a, mu, sigma
+
+
+def act_deterministic(cfg: VracerConfig, ts: TrainState, obs):
+    _, mu, sigma = policy_apply(cfg, ts, obs)
+    return jnp.clip(mu, cfg.action_low, cfg.action_high)
+
+
+def observe_episodes(cfg: VracerConfig, ts: TrainState, batch) -> TrainState:
+    """Update normalizer statistics from freshly collected episodes."""
+    new_obs = ts.obs_stats
+    new_rew = ts.rew_stats
+    mask_sa = jnp.broadcast_to(batch["mask"][..., None], batch["rewards"].shape)
+    if cfg.state_rescaling:
+        m = jnp.broadcast_to(batch["mask"][..., None, None], batch["obs"].shape[:-1] + (1,))
+        new_obs = running_stats.update(
+            new_obs, batch["obs"].reshape(-1, cfg.obs_dim),
+            weights=m.reshape(-1))
+    if cfg.reward_rescaling:
+        new_rew = running_stats.update(
+            new_rew, batch["rewards"].reshape(-1), weights=mask_sa.reshape(-1))
+    return ts.replace(obs_stats=new_obs, rew_stats=new_rew)
+
+
+def _vtrace(V, rewards, rho, mask, gamma):
+    """V-trace targets along T with clipped one-sample IS weights.
+
+    V, rewards, rho, mask: (..., T).  Terminal (no bootstrap) at episode end —
+    the reference episodes end "Terminal" (burger_environment.py:204).
+    Returns (vtg, adv): targets and advantages r_t + gamma*vtg_{t+1} - V_t.
+    """
+    rho_bar = jnp.minimum(rho, 1.0)
+    T = V.shape[-1]
+    V_next = jnp.concatenate([V[..., 1:], jnp.zeros_like(V[..., :1])], axis=-1)
+    next_valid = jnp.concatenate([mask[..., 1:], jnp.zeros_like(mask[..., :1])], axis=-1)
+    V_next = V_next * next_valid
+    delta = rho_bar * (rewards + gamma * V_next - V)
+
+    def body(carry, xs):
+        # carry: vtg_{t+1} - V_{t+1}
+        d, rb, nv = xs
+        corr = d + gamma * rb * carry * nv
+        return corr, corr
+
+    xs = (jnp.moveaxis(delta, -1, 0),
+          jnp.moveaxis(rho_bar, -1, 0), jnp.moveaxis(next_valid, -1, 0))
+    _, corr_rev = jax.lax.scan(
+        lambda c, x: body(c, x), jnp.zeros_like(V[..., 0]),
+        jax.tree.map(lambda a: a[::-1], xs))
+    corr = jnp.moveaxis(corr_rev[::-1], 0, -1)      # vtg_t - V_t
+    vtg = V + corr
+    vtg_next = jnp.concatenate([vtg[..., 1:], jnp.zeros_like(vtg[..., :1])], axis=-1)
+    adv = rewards + gamma * vtg_next * next_valid - V
+    return vtg, adv
+
+
+def _loss(cfg: VracerConfig, params, ts: TrainState, batch, cutoff):
+    net = make_net(cfg)
+    obs = batch["obs"]
+    if cfg.state_rescaling:
+        obs = running_stats.normalize(ts.obs_stats, obs)
+    V, mu, sigma = net.apply(params, obs)          # (K, T, na[, A])
+
+    rewards = batch["rewards"]
+    if cfg.reward_rescaling:
+        rewards = running_stats.scale(ts.rew_stats, rewards)
+    if cfg.multi_agent_relationship == "cooperation":
+        # korali Cooperation: agents share the team-mean reward
+        rewards = jnp.broadcast_to(rewards.mean(-1, keepdims=True), rewards.shape)
+
+    logp = D.joint_log_prob(batch["actions"], mu, sigma,
+                            cfg.action_low, cfg.action_high)
+    logp_b = D.joint_log_prob(batch["actions"], batch["mu"], batch["sigma"],
+                              cfg.action_low, cfg.action_high)
+    rho = jnp.exp(jnp.clip(logp - logp_b, -20.0, 20.0))
+    near = (rho > 1.0 / cutoff) & (rho < cutoff)
+
+    mask = batch["mask"][..., None]                # (K, T, 1) broadcast over agents
+    # time axis is 1; move to last for the scan
+    Vt = jnp.moveaxis(V, 1, -1)
+    rt = jnp.moveaxis(rewards, 1, -1)
+    rhot = jnp.moveaxis(rho, 1, -1)
+    mt = jnp.moveaxis(jnp.broadcast_to(mask, rho.shape), 1, -1)
+    vtg, adv = _vtrace(jax.lax.stop_gradient(Vt), rt,
+                       jax.lax.stop_gradient(rhot), mt, cfg.gamma)
+    vtg = jnp.moveaxis(vtg, -1, 1)
+    adv = jnp.moveaxis(adv, -1, 1)
+
+    w = jnp.broadcast_to(mask, rho.shape)
+    denom = jnp.maximum(w.sum(), 1.0)
+
+    v_loss = 0.5 * jnp.sum(w * (V - jax.lax.stop_gradient(vtg)) ** 2) / denom
+
+    pg_w = jax.lax.stop_gradient(jnp.minimum(rho, cutoff) * adv * near)
+    pg_loss = -jnp.sum(w * pg_w * logp) / denom
+
+    kl = D.kl_normal(batch["mu"], batch["sigma"], mu, sigma)
+    far = jnp.asarray(~near, kl.dtype)
+    kl_loss = jnp.sum(w * far * kl) / denom
+
+    loss = cfg.value_coef * v_loss + ts.beta * pg_loss + (1.0 - ts.beta) * kl_loss
+    frac_far = jnp.sum(w * far) / denom
+    metrics = dict(loss=loss, v_loss=v_loss, pg_loss=pg_loss, kl_loss=kl_loss,
+                   frac_far=frac_far, mean_rho=jnp.sum(w * rho) / denom,
+                   mean_sigma=sigma.mean(), mean_V=jnp.sum(w * V) / denom)
+    return loss, metrics
+
+
+def update(cfg: VracerConfig, ts: TrainState, batch):
+    """One gradient step on a sampled episode batch; returns (ts, metrics)."""
+    cutoff = cfg.cutoff_scale / (1.0 + cfg.annealing_rate *
+                                 ts.n_updates.astype(jnp.float32))
+    grads, metrics = jax.grad(
+        lambda p: _loss(cfg, p, ts, batch, cutoff), has_aux=True)(ts.params)
+    updates, opt_state = make_optimizer(cfg).update(grads, ts.opt_state, ts.params)
+    params = optax.apply_updates(ts.params, updates)
+
+    # REFER beta adaptation (paper sec. 3.2): push frac_far toward target
+    nu = jnp.asarray(cfg.lr * 10.0, ts.beta.dtype)
+    beta = jnp.where(metrics["frac_far"] > cfg.offpolicy_target,
+                     (1.0 - nu) * ts.beta,
+                     (1.0 - nu) * ts.beta + nu)
+    beta = jnp.clip(beta, 0.05, 1.0)
+
+    metrics["beta"] = beta
+    metrics["cutoff"] = cutoff
+    return ts.replace(params=params, opt_state=opt_state, beta=beta,
+                      n_updates=ts.n_updates + 1), metrics
