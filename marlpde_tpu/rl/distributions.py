@@ -12,7 +12,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-LOG_SQRT_2PI = 0.5 * np.log(2.0 * np.pi)
+# Python float (weak-typed) so float32 inputs stay float32 under x64 mode
+LOG_SQRT_2PI = float(0.5 * np.log(2.0 * np.pi))
 
 
 def sample(key, mu, sigma, lb, ub):

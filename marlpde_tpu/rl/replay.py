@@ -59,7 +59,7 @@ def add_episodes(rep: Replay, batch: dict) -> Replay:
     idx = (rep.cursor + jnp.arange(B)) % C
 
     def put(buf, new):
-        return buf.at[idx].set(new)
+        return buf.at[idx].set(new.astype(buf.dtype))
 
     return rep.replace(
         obs=put(rep.obs, batch["obs"]),

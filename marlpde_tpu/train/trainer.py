@@ -1,0 +1,130 @@
+"""Training orchestration: generations of on-device rollouts + REFER updates.
+
+korali's generation loop (Episodes Per Generation = 10, run-vracer-burger.py:128)
+becomes: collect `num_envs` episodes as ONE jitted scan, insert into the
+on-device replay, then run gradient updates at a replay-reuse rate matching
+korali's `Experiences Between Policy Updates` economics.
+
+korali consumes 256 experiences per update at 1 update per 0.5 new experiences
+=> replay reuse ~512x.  Our minibatch is whole episodes (K*T experiences), so
+updates/generation = new_experiences * reuse_ratio / (K*T).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from marlpde_tpu.envs.rollout import Env, collect_episodes
+from marlpde_tpu.rl import replay as replay_mod
+from marlpde_tpu.rl import vracer
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainerConfig:
+    num_envs: int = 16                 # episodes per generation
+    max_experiences: float = 5e5       # korali Termination Criteria (run-vracer-burger.py:195)
+    reuse_ratio: float = 512.0         # korali: 256 exp/update / 0.5 exp-between-updates
+    max_updates_per_gen: int = 200
+    seed: int = 42
+    log_every: int = 1
+    testing_frequency: int = 0         # generations between deterministic evals (0 = off)
+    testing_episodes: int = 8
+
+
+def default_rl_config(env: Env, **overrides) -> vracer.VracerConfig:
+    kw = dict(obs_dim=env.obs_dim, act_dim=env.act_dim,
+              num_agents=env.num_agents, episode_length=env.episode_length,
+              action_low=env.action_low, action_high=env.action_high)
+    kw.update(overrides)
+    return vracer.VracerConfig(**kw)
+
+
+def train(env: Env, rl_cfg: Optional[vracer.VracerConfig] = None,
+          tc: TrainerConfig = TrainerConfig(), verbose: bool = True,
+          callback=None):
+    """Run training; returns (train_state, replay, history dict)."""
+    rl_cfg = rl_cfg or default_rl_config(env)
+    key = jax.random.key(tc.seed)
+    key, k_init = jax.random.split(key)
+    ts = vracer.init_train(rl_cfg, k_init)
+    rep = replay_mod.init(rl_cfg.replay_capacity_episodes, env.episode_length,
+                          env.num_agents, env.obs_dim, env.act_dim)
+
+    collect = jax.jit(lambda ts_, key_, base: collect_episodes(
+        env, rl_cfg, ts_, key_, tc.num_envs, base))
+    collect_det = jax.jit(lambda ts_, key_, base: collect_episodes(
+        env, rl_cfg, ts_, key_, tc.testing_episodes, base, deterministic=True))
+    add = jax.jit(replay_mod.add_episodes)
+    observe = jax.jit(lambda ts_, b: vracer.observe_episodes(rl_cfg, ts_, b))
+
+    @jax.jit
+    def do_update(ts_, rep_, key_):
+        kb, _ = jax.random.split(key_)
+        batch = replay_mod.sample_episodes(rep_, kb, rl_cfg.mini_batch_episodes)
+        return vracer.update(rl_cfg, ts_, batch)
+
+    history = dict(gen=[], experiences=[], mean_return=[], mean_ep_len=[],
+                   updates=[], metrics=[], test_return=[], wall_time=[])
+    total_exp = 0
+    episode_base = 0
+    gen = 0
+    t0 = time.time()
+    T = env.episode_length
+    new_exp_per_gen = tc.num_envs * T
+    upd_per_gen = int(min(
+        tc.max_updates_per_gen,
+        max(1, new_exp_per_gen * tc.reuse_ratio
+            / (rl_cfg.mini_batch_episodes * T))))
+
+    while total_exp < tc.max_experiences:
+        key, k_c, k_u = jax.random.split(key, 3)
+        traj, final = collect(ts, k_c, episode_base)
+        rep = add(rep, traj)
+        ts = observe(ts, traj)
+        episode_base += tc.num_envs
+        total_exp += new_exp_per_gen
+        gen += 1
+
+        metrics = {}
+        n_upd = 0
+        if int(rep.filled) >= rl_cfg.replay_start_episodes:
+            for i in range(upd_per_gen):
+                k_u, k_i = jax.random.split(k_u)
+                ts, metrics = do_update(ts, rep, k_i)
+                n_upd += 1
+
+        mean_ret = float(final.cum_reward.mean())
+        ep_len = float(traj["mask"].sum(1).mean())
+        history["gen"].append(gen)
+        history["experiences"].append(total_exp)
+        history["mean_return"].append(mean_ret)
+        history["mean_ep_len"].append(ep_len)
+        history["updates"].append(n_upd)
+        history["metrics"].append({k: float(v) for k, v in metrics.items()})
+        history["wall_time"].append(time.time() - t0)
+
+        if tc.testing_frequency and gen % tc.testing_frequency == 0:
+            key, k_t = jax.random.split(key)
+            ttraj, tfinal = collect_det(ts, k_t, 0)
+            history["test_return"].append(float(tfinal.cum_reward.mean()))
+        if verbose and gen % tc.log_every == 0:
+            print(f"[trainer] gen {gen} exp {total_exp} return {mean_ret:.5f} "
+                  f"eplen {ep_len:.1f} updates {n_upd} "
+                  f"beta {metrics.get('beta', '-')}", flush=True)
+        if callback is not None:
+            callback(gen, ts, rep, history)
+
+    return ts, rep, history
+
+
+def evaluate(env: Env, rl_cfg, ts, key, n_episodes: int = 8):
+    """Deterministic-policy evaluation; returns per-episode returns (n,na)."""
+    traj, final = collect_episodes(env, rl_cfg, ts, key, n_episodes,
+                                   deterministic=True)
+    return np.asarray(final.cum_reward)

@@ -1,0 +1,150 @@
+"""RL-layer tests: distributions, V-trace, replay, normalizers, and a
+learning smoke test on the diffusion-simple workload (the reference's minimum
+end-to-end slice, SURVEY.md §7)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy import stats
+
+from marlpde_tpu.envs import registry
+from marlpde_tpu.rl import distributions as D
+from marlpde_tpu.rl import replay, running_stats, vracer
+from marlpde_tpu.train import trainer
+
+
+class TestClippedNormal:
+    def test_interior_log_prob_matches_scipy(self, rng):
+        a = rng.uniform(-4, 4, 32)
+        mu = rng.standard_normal(32)
+        sigma = rng.uniform(0.5, 2.0, 32)
+        got = np.asarray(D.log_prob(jnp.asarray(a), jnp.asarray(mu),
+                                    jnp.asarray(sigma), -5.0, 5.0))
+        want = stats.norm.logpdf(a, mu, sigma)
+        np.testing.assert_allclose(got, want, rtol=1e-10)
+
+    def test_boundary_masses(self):
+        # at the bounds the density is the clipped tail mass
+        got_lo = float(D.log_prob(jnp.asarray(-5.0), jnp.asarray(0.0),
+                                  jnp.asarray(2.0), -5.0, 5.0))
+        np.testing.assert_allclose(got_lo, stats.norm.logcdf(-2.5), rtol=1e-10)
+        got_hi = float(D.log_prob(jnp.asarray(5.0), jnp.asarray(1.0),
+                                  jnp.asarray(2.0), -5.0, 5.0))
+        np.testing.assert_allclose(got_hi, stats.norm.logsf(2.0), rtol=1e-10)
+
+    def test_samples_respect_bounds_and_distribution(self):
+        key = jax.random.key(0)
+        s = D.sample(key, jnp.zeros(20000), jnp.full(20000, 3.0), -2.0, 2.0)
+        s = np.asarray(s)
+        assert s.min() >= -2.0 and s.max() <= 2.0
+        # clipped mass at bounds ~ Phi(-2/3) each
+        frac_lo = (s == -2.0).mean()
+        assert abs(frac_lo - stats.norm.cdf(-2 / 3)) < 0.02
+
+    def test_kl_normal_zero_for_identical(self):
+        mu = jnp.asarray([[0.5, -1.0]])
+        sig = jnp.asarray([[1.0, 2.0]])
+        assert float(D.kl_normal(mu, sig, mu, sig)[0]) == pytest.approx(0.0)
+
+    def test_kl_normal_matches_formula(self):
+        got = float(D.kl_normal(jnp.asarray([0.0]), jnp.asarray([1.0]),
+                                jnp.asarray([1.0]), jnp.asarray([2.0])))
+        want = np.log(2.0) + (1.0 + 1.0) / 8.0 - 0.5
+        np.testing.assert_allclose(got, want, rtol=1e-7)
+
+
+class TestVtrace:
+    def test_on_policy_reduces_to_discounted_returns(self, rng):
+        T, gamma = 6, 0.9
+        r = rng.standard_normal(T)
+        V = rng.standard_normal(T)
+        mask = np.ones(T)
+        vtg, adv = vracer._vtrace(jnp.asarray(V)[None], jnp.asarray(r)[None],
+                                  jnp.ones((1, T)), jnp.asarray(mask)[None], gamma)
+        want = np.zeros(T)
+        acc = 0.0
+        for t in reversed(range(T)):
+            acc = r[t] + gamma * acc
+            want[t] = acc
+        np.testing.assert_allclose(np.asarray(vtg)[0], want, rtol=1e-6)
+        # advantage = r + gamma*vtg_{t+1} - V = vtg_t - V_t on-policy
+        np.testing.assert_allclose(np.asarray(adv)[0], want - V, rtol=1e-5, atol=1e-6)
+
+    def test_rho_zero_gives_no_correction(self, rng):
+        T = 5
+        V = rng.standard_normal(T)
+        r = rng.standard_normal(T)
+        vtg, _ = vracer._vtrace(jnp.asarray(V)[None], jnp.asarray(r)[None],
+                                jnp.zeros((1, T)), jnp.ones((1, T)), 1.0)
+        np.testing.assert_allclose(np.asarray(vtg)[0], V, rtol=1e-6)
+
+    def test_mask_stops_bootstrap(self, rng):
+        # an episode that ends at t=2 must not bootstrap beyond it
+        T = 5
+        V = np.ones(T) * 10.0
+        r = np.ones(T)
+        mask = np.array([1.0, 1.0, 1.0, 0.0, 0.0])
+        vtg, _ = vracer._vtrace(jnp.asarray(V)[None], jnp.asarray(r)[None],
+                                jnp.ones((1, T)), jnp.asarray(mask)[None], 1.0)
+        np.testing.assert_allclose(np.asarray(vtg)[0][:3], [3.0, 2.0, 1.0], rtol=1e-6)
+
+
+class TestReplay:
+    def test_add_sample_roundtrip(self, rng):
+        rep = replay.init(capacity=4, T=3, na=2, obs_dim=5, act_dim=2)
+        batch = dict(
+            obs=jnp.asarray(rng.standard_normal((2, 3, 2, 5)), jnp.float32),
+            actions=jnp.asarray(rng.standard_normal((2, 3, 2, 2)), jnp.float32),
+            mu=jnp.zeros((2, 3, 2, 2)), sigma=jnp.ones((2, 3, 2, 2)),
+            rewards=jnp.ones((2, 3, 2)), mask=jnp.ones((2, 3)))
+        rep = replay.add_episodes(rep, batch)
+        assert int(rep.filled) == 2 and int(rep.cursor) == 2
+        out = replay.sample_episodes(rep, jax.random.key(0), 8)
+        assert out["obs"].shape == (8, 3, 2, 5)
+        assert int(replay.num_experiences(rep)) == 6
+
+    def test_ring_overwrite(self):
+        rep = replay.init(capacity=3, T=2, na=1, obs_dim=1, act_dim=1)
+        for i in range(5):
+            batch = dict(obs=jnp.full((1, 2, 1, 1), float(i)),
+                         actions=jnp.zeros((1, 2, 1, 1)),
+                         mu=jnp.zeros((1, 2, 1, 1)), sigma=jnp.ones((1, 2, 1, 1)),
+                         rewards=jnp.zeros((1, 2, 1)), mask=jnp.ones((1, 2)))
+            rep = replay.add_episodes(rep, batch)
+        assert int(rep.filled) == 3
+        vals = sorted(float(rep.obs[i, 0, 0, 0]) for i in range(3))
+        assert vals == [2.0, 3.0, 4.0]   # oldest (0,1) overwritten
+
+
+class TestRunningStats:
+    def test_matches_numpy(self, rng):
+        rs = running_stats.init((3,))
+        data = rng.standard_normal((100, 3)).astype(np.float32)
+        for chunk in np.split(data, 4):
+            rs = running_stats.update(rs, jnp.asarray(chunk))
+        # the accumulator starts with one pseudo-count; tolerance accordingly
+        np.testing.assert_allclose(np.asarray(rs.mean), data.mean(0), atol=0.05)
+        np.testing.assert_allclose(np.asarray(rs.std), data.std(0), atol=0.1)
+
+
+class TestLearning:
+    @pytest.mark.slow
+    def test_diffusion_simple_policy_improves(self):
+        """The minimum end-to-end slice: VRACER on diffusion-simple must beat
+        the random-policy baseline within a small training budget."""
+        env = registry.make_env("diffusion-simple", N=8, episode_length=60,
+                                noise=0.0)
+        rl_cfg = trainer.default_rl_config(
+            env, width=32, gamma=0.95, init_noise=3.0, lr=1e-3,
+            replay_start_experiences=480, replay_max_experiences=48000,
+            mini_batch_episodes=4)
+        tc = trainer.TrainerConfig(num_envs=8, max_experiences=24000,
+                                   reuse_ratio=64.0, max_updates_per_gen=40,
+                                   seed=7, log_every=10)
+        ts, rep, hist = trainer.train(env, rl_cfg, tc, verbose=False)
+        first = np.mean(hist["mean_return"][:5])
+        last = np.mean(hist["mean_return"][-5:])
+        assert last > first, (first, last)
+        # the learned policy should also survive longer
+        assert np.mean(hist["mean_ep_len"][-5:]) > np.mean(hist["mean_ep_len"][:5]) * 0.9
