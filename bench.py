@@ -1,0 +1,80 @@
+"""Benchmark: batched Burgers-LES MARL env throughput on one chip.
+
+Metric (BASELINE.json): env-steps/s/chip, where one env-step is one LES solver
+sub-step of one environment instance (the unit behind the reference's "5000 LES
+steps per episode", run-vracer-burger.py:12,23-24).  The measured path is the
+full acting loop: VRACER policy forward (32 agents/env) + basis expansion +
+nIntermediate ABCN pseudo-spectral sub-steps + spectral-energy reward, all
+inside one jitted scan — i.e. what training actually executes per macro-step.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Env knobs: BENCH_ENVS (default 4096), BENCH_MACRO (default 50 macro-steps).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    B = int(os.environ.get("BENCH_ENVS", 4096))
+    macro_steps = int(os.environ.get("BENCH_MACRO", 50))
+
+    from marlpde_tpu.envs import registry
+    from marlpde_tpu.rl import vracer
+    from marlpde_tpu.train import trainer
+
+    # run-vracer-burger-marl configuration: N=512 DNS, 32-point LES, 32 agents,
+    # spectral reward, episodeLength 500 -> nIntermediate = 10
+    env = registry.make_env(
+        "burger", N_dns=512, grid_size=32, num_actions=32, num_agents=32,
+        dt=0.001, T=5.0, nu=0.02, episode_length=500, ic_case="turbulence",
+        spectral_reward=True, noise=0.0, dtype=jnp.float32)
+    n_intermediate = env.cfg.n_intermediate
+    rl_cfg = trainer.default_rl_config(env, width=128)
+    ts = vracer.init_train(rl_cfg, jax.random.key(0))
+
+    reset_keys = jax.random.split(jax.random.key(1), B)
+    state, obs = jax.jit(jax.vmap(env.reset))(reset_keys, jnp.arange(B))
+
+    def macro(carry, k):
+        st, ob = carry
+        actions, _, _ = vracer.act(rl_cfg, ts, ob, k)
+        st, ob2, rew, done, _ = jax.vmap(env.step)(st, actions)
+        return (st, ob2), rew.mean()
+
+    @jax.jit
+    def run(state, obs, key):
+        keys = jax.random.split(key, macro_steps)
+        (st, ob), rews = jax.lax.scan(macro, (state, obs), keys)
+        return st, ob, rews.mean()
+
+    # compile + warmup
+    st, ob, r = run(state, obs, jax.random.key(2))
+    jax.block_until_ready(r)
+
+    t0 = time.perf_counter()
+    n_rep = 3
+    for i in range(n_rep):
+        st, ob, r = run(st, ob, jax.random.key(3 + i))
+    jax.block_until_ready(r)
+    dt = (time.perf_counter() - t0) / n_rep
+
+    env_steps = B * macro_steps * n_intermediate
+    steps_per_s = env_steps / dt
+    baseline = 1e6   # BASELINE.json target: >=1e6 env-steps/s/chip
+    print(json.dumps({
+        "metric": "env_steps_per_s_per_chip",
+        "value": round(steps_per_s, 1),
+        "unit": "LES-substeps/s (B=%d envs, 32 agents, spectral reward, policy in loop)" % B,
+        "vs_baseline": round(steps_per_s / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -48,9 +48,11 @@ def turbulence_phases(tseed, N: int):
     `tseed` may be a traced scalar (vmappable).
     """
     ak, ck = _lcg_closed_form(N - 1)
-    rng0 = (123456789 + jnp.asarray(tseed, dtype=jnp.int64)) % LCG_M
-    rng_k = (jnp.asarray(ak) * rng0 + jnp.asarray(ck)) % LCG_M
-    return rng_k.astype(jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32) / LCG_M * 2.0 * np.pi
+    # all intermediates < 2^27, so int32 arithmetic is exact
+    rng0 = (123456789 + jnp.asarray(tseed, dtype=jnp.int32)) % LCG_M
+    rng_k = (jnp.asarray(ak, jnp.int32) * rng0 + jnp.asarray(ck, jnp.int32)) % LCG_M
+    ftype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    return rng_k.astype(ftype) / LCG_M * 2.0 * np.pi
 
 
 def burger_turbulence(tseed, offset, x, L, dtype=None):

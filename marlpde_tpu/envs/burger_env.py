@@ -68,6 +68,7 @@ class BurgerEnvConfig:
     scheme: str = "abcn"             # 'fd' gives the Burger_fd env
     reward_factor: float = 1.0
     truncation_penalty: float = -np.inf   # burger_environment.py:200
+    coupled: bool = False            # baseline-relative reward (coupled_burger_environment.py)
 
     @property
     def n_dns_steps(self) -> int:
@@ -266,7 +267,32 @@ def step(cfg: BurgerEnvConfig, pool: DnsPool, state: BurgerEnvState,
     (sol, ek_sum, mse_acc, u_prev), _ = jax.lax.scan(
         sub_step, init_carry, None, length=cfg.n_intermediate)
 
-    if cfg.spectral_reward:
+    if cfg.coupled:
+        # baseline-relative reward (coupled_burger_environment.py:76-128):
+        # re-run this macro-step uncontrolled with explicit-Euler spectral
+        # updates from the pre-step LES field, reward = baseMSE - lesMSE
+        k1 = jnp.asarray(lcfg.grid.k1, state.solver.v.dtype)
+        k2 = jnp.asarray(lcfg.grid.k2, state.solver.v.dtype)
+        nu = state.solver.nu[..., None]
+
+        def base_sub(carry, _):
+            ub, vb = carry
+            vb = vb - cfg.dt * 0.5 * k1 * spectral.fft(ub * ub) + cfg.dt * nu * k2 * vb
+            return (spectral.irfft_real(vb), vb), None
+
+        (u_base, _), _ = jax.lax.scan(
+            base_sub, (state.solver.u, state.solver.v), None,
+            length=cfg.n_intermediate)
+        newx = jnp.asarray(lcfg.grid.x, dtype)
+        fidx = interp.frame_index(sol.t, cfg.dt, row.uu.shape[0])
+        truth = interp.periodic_spline_eval(row.uu[fidx], row.spline_m[fidx],
+                                            newx, cfg.L)
+        les_mse = jnp.mean((truth - sol.u) ** 2)
+        base_mse = jnp.mean((truth - u_base) ** 2)
+        reward = jnp.full(cfg.num_agents,
+                          cfg.reward_factor * (base_mse - les_mse))
+        new_prev = state.prev_rel_err
+    elif cfg.spectral_reward:
         # cumulative-mean spectra at the current LES step (burger_environment.py:172-176)
         count = (sol.ioutnum + 1).astype(dtype)
         sgs_ektt = ek_sum[1: cfg.grid_size // 2] / count

@@ -108,8 +108,16 @@ def make_laplace_env(cfg: laplace_env.LaplaceEnvConfig = None, **overrides) -> E
         action_low=-3.0, action_high=3.0)   # run-vracer-laplace.py:85-86
 
 
+def make_coupled_burger_env(**kw) -> Env:
+    env = make_burger_env(coupled=True, spectral_reward=False, **kw)
+    # run-vracer-coupled-burger.py:68-69: actions in [-1, 1]
+    return dataclasses.replace(env, name="coupled-burger",
+                               action_low=-1.0, action_high=1.0)
+
+
 MAKERS = {
     "burger": make_burger_env,
+    "coupled-burger": make_coupled_burger_env,
     "burger-marl": lambda **kw: make_burger_env(num_agents=kw.pop("num_agents", 32), **kw),
     "burger-fd": lambda **kw: make_burger_env(scheme="fd", **kw),
     "ks": make_ks_env,

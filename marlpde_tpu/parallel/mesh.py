@@ -1,0 +1,155 @@
+"""Device-mesh distribution: env shards + data-parallel learner.
+
+The reference has no distributed execution at all (SURVEY.md §2.8: single
+SLURM task, OMP threads inside korali).  The TPU-native scaling axis is the
+*environment batch*: thousands of envs advance in lockstep, sharded over a 1-D
+'env' mesh axis; the learner is data-parallel with psum gradient reduction
+inside shard_map.  Multi-host runs extend the same mesh over
+jax.distributed-initialized processes; collectives ride ICI within a slice.
+
+One generation = one XLA computation per device:
+  collect episodes (policy-in-scan) -> insert into the local replay shard ->
+  K gradient updates on locally sampled minibatches with pmean'd grads.
+Parameters, optimizer state and normalizer stats stay replicated (identical
+update applied on every device); replay shards are device-local (never
+gathered) — the korali-equivalent 100k-experience buffer becomes
+100k/n_devices per device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from marlpde_tpu.envs.rollout import Env, collect_episodes
+from marlpde_tpu.rl import replay as replay_mod
+from marlpde_tpu.rl import vracer
+
+
+def make_mesh(devices=None, axis: str = "env") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def replicate(mesh: Mesh, tree):
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_leading(mesh: Mesh, tree, axis: str = "env"):
+    """Shard array leaves on their leading axis; replicate scalar leaves."""
+    def put(a):
+        spec = P(axis) if jnp.ndim(a) else P()
+        return jax.device_put(a, NamedSharding(mesh, spec))
+    return jax.tree.map(put, tree)
+
+
+def leading_specs(tree, axis: str = "env"):
+    """PartitionSpec pytree: P(axis) for arrays, P() for scalars."""
+    return jax.tree.map(lambda a: P(axis) if jnp.ndim(a) else P(), tree)
+
+
+def make_sharded_generation(env: Env, rl_cfg: vracer.VracerConfig, mesh: Mesh,
+                            envs_per_device: int, updates_per_gen: int,
+                            axis: str = "env"):
+    """Build the jitted one-generation function over the mesh.
+
+    Returns (gen_fn, init_replay_shards):
+      gen_fn(ts, rep_shard, key, episode_base) -> (ts, rep_shard, stats)
+    where rep_shard's leading (capacity) axis is sharded over `axis`, ts is
+    replicated, and stats carries mean return / episode length.
+    """
+    n_dev = mesh.devices.size
+    cap_per_dev = max(rl_cfg.replay_capacity_episodes // n_dev, envs_per_device)
+
+    def local_generation(ts, rep, key, episode_base):
+        """Runs on each device via shard_map (inputs are local shards)."""
+        dev = jax.lax.axis_index(axis)
+        k_col, k_upd = jax.random.split(jax.random.fold_in(key[0], dev))
+        base = episode_base[0] + dev * envs_per_device
+        traj, final = collect_episodes(env, rl_cfg, ts, k_col,
+                                       envs_per_device, base)
+        rep = replay_mod.add_episodes(rep, traj)
+        ts = vracer.observe_episodes(rl_cfg, ts, traj)
+        # keep normalizer stats identical across devices
+        ts = ts.replace(
+            obs_stats=jax.tree.map(lambda a: jax.lax.pmean(a, axis), ts.obs_stats),
+            rew_stats=jax.tree.map(lambda a: jax.lax.pmean(a, axis), ts.rew_stats))
+
+        ready = replay_mod.num_experiences(rep) * n_dev >= rl_cfg.replay_start_experiences
+
+        def one_update(carry, k):
+            ts_c = carry
+            batch = replay_mod.sample_episodes(rep, k, rl_cfg.mini_batch_episodes)
+            cutoff = rl_cfg.cutoff_scale / (1.0 + rl_cfg.annealing_rate *
+                                            ts_c.n_updates.astype(jnp.float32))
+            grads, metrics = jax.grad(
+                lambda p: vracer._loss(rl_cfg, p, ts_c, batch, cutoff),
+                has_aux=True)(ts_c.params)
+            grads = jax.tree.map(lambda g: jax.lax.pmean(g, axis), grads)
+            frac_far = jax.lax.pmean(metrics["frac_far"], axis)
+            updates, opt_state = vracer.make_optimizer(rl_cfg).update(
+                grads, ts_c.opt_state, ts_c.params)
+            params = optax.apply_updates(ts_c.params, updates)
+            nu = jnp.asarray(rl_cfg.lr * 10.0, ts_c.beta.dtype)
+            beta = jnp.where(frac_far > rl_cfg.offpolicy_target,
+                             (1.0 - nu) * ts_c.beta, (1.0 - nu) * ts_c.beta + nu)
+            beta = jnp.clip(beta, 0.05, 1.0)
+            new_ts = ts_c.replace(params=params, opt_state=opt_state, beta=beta,
+                                  n_updates=ts_c.n_updates + 1)
+            # no-op until the replay is warm
+            new_ts = jax.tree.map(lambda n, o: jnp.where(ready, n, o), new_ts, ts_c)
+            return new_ts, None
+
+        upd_keys = jax.random.split(k_upd, updates_per_gen)
+        ts, _ = jax.lax.scan(one_update, ts, upd_keys)
+
+        stats = dict(
+            mean_return=jax.lax.pmean(final.cum_reward.mean(), axis),
+            mean_ep_len=jax.lax.pmean(traj["mask"].sum(1).mean(), axis),
+            experiences=jax.lax.psum(replay_mod.num_experiences(rep), axis))
+        return ts, rep, stats
+
+    def make_rep():
+        return replay_mod.init(cap_per_dev * n_dev, env.episode_length,
+                               env.num_agents, env.obs_dim, env.act_dim)
+
+    rep_spec = leading_specs(jax.eval_shape(make_rep), axis)
+    # check_vma=False: scan carries inside mix device-varying (env states from
+    # folded keys) and replicated values; the vma typecheck would require
+    # manual pcasts at every scan entry for no semantic gain here.
+    gen_fn = jax.jit(jax.shard_map(
+        local_generation, mesh=mesh,
+        in_specs=(P(), rep_spec, P(axis), P(axis)),
+        out_specs=(P(), rep_spec, P()), check_vma=False))
+
+    def init_replay_shards():
+        return shard_leading(mesh, make_rep(), axis)
+
+    return gen_fn, init_replay_shards
+
+
+def run_generations(env: Env, rl_cfg, mesh: Mesh, envs_per_device: int,
+                    updates_per_gen: int, n_generations: int, seed: int = 0,
+                    axis: str = "env"):
+    """Convenience driver used by the multichip dry-run and the TPU trainer."""
+    n_dev = mesh.devices.size
+    gen_fn, init_rep = make_sharded_generation(
+        env, rl_cfg, mesh, envs_per_device, updates_per_gen, axis)
+    key = jax.random.key(seed)
+    key, k0 = jax.random.split(key)
+    ts = replicate(mesh, vracer.init_train(rl_cfg, k0))
+    rep = init_rep()
+    stats = None
+    for g in range(n_generations):
+        key, kg = jax.random.split(key)
+        keys = jax.random.split(kg, n_dev)
+        bases = jnp.full((n_dev,), g * n_dev * envs_per_device, jnp.int32)
+        ts, rep, stats = gen_fn(ts, rep, keys, bases)
+    return ts, rep, stats

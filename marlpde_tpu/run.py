@@ -1,0 +1,172 @@
+"""Config-driven CLI entry point reproducing the reference's run-* drivers.
+
+Usage:
+    python -m marlpde_tpu.run <workload> [--flag value ...]
+
+Workloads (reference driver -> name): see envs/registry.py.  Flag names track
+the reference argparse surface (run-vracer-burger.py:5-34) where sensible.
+
+Examples:
+    python -m marlpde_tpu.run burger --NDNS 512 --N 32 --NA 32 --NE 500000 \
+        --episodelength 500 --ic turbulence --specreward
+    python -m marlpde_tpu.run diffusion-simple --N 128 --numAgents 1
+    python -m marlpde_tpu.run burger-marl --nagents 32 --test --run 3
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="marlpde_tpu.run")
+    p.add_argument("workload", type=str, help="env preset name (see envs/registry.py)")
+    # solver/env flags (run-vracer-burger.py:5-34)
+    p.add_argument("--NDNS", type=int, default=512)
+    p.add_argument("--N", type=int, default=None, help="coarse grid size")
+    p.add_argument("--NA", type=int, default=None, help="number of actions")
+    p.add_argument("--NE", type=float, default=5e5, help="max experiences")
+    p.add_argument("--width", type=int, default=256)
+    p.add_argument("--iex", type=float, default=0.1)
+    p.add_argument("--episodelength", type=int, default=500)
+    p.add_argument("--noise", type=float, default=0.0)
+    p.add_argument("--ic", type=str, default=None)
+    p.add_argument("--L", type=float, default=2 * np.pi)
+    p.add_argument("--dforce", action="store_true")
+    p.add_argument("--ssmforce", action="store_true")
+    p.add_argument("--specreward", action="store_true")
+    p.add_argument("--forcing", action="store_true")
+    p.add_argument("--nunoise", action="store_true")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--stepper", type=int, default=1)
+    p.add_argument("--dt", type=float, default=None)
+    p.add_argument("--T", type=float, default=None)
+    p.add_argument("--nu", type=float, default=None)
+    p.add_argument("--ssm", action="store_true")
+    p.add_argument("--dsm", action="store_true")
+    p.add_argument("--run", type=int, default=0, help="run tag / result folder suffix")
+    p.add_argument("--version", type=int, default=0)
+    p.add_argument("--ndns", type=int, default=1)
+    p.add_argument("--nagents", "--numAgents", dest="nagents", type=int, default=None)
+    p.add_argument("--test", action="store_true")
+    # learner flags
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--gamma", type=float, default=None)
+    p.add_argument("--mar", type=str, default="individual",
+                   help="Multi Agent Relationship: individual|cooperation")
+    # trainer flags
+    p.add_argument("--numenvs", type=int, default=16, help="episodes per generation")
+    p.add_argument("--resume", action="store_true")
+    return p
+
+
+def make_workload(args):
+    """Build (env, rl_cfg, tc) from CLI args; defaults follow the drivers."""
+    import jax.numpy as jnp
+
+    from marlpde_tpu.envs import registry
+    from marlpde_tpu.train import trainer
+
+    w = args.workload
+    kw = {}
+    if w in ("burger", "burger-marl", "burger-fd"):
+        defaults = dict(N=32, NA=32, dt=1e-3, T=5.0, nu=0.02, ic="sinus",
+                        gamma=1.0, iex=args.iex)
+        if w == "burger-fd":
+            defaults.update(N=256, NA=256, ic="turbulence")
+        kw = dict(
+            N_dns=args.NDNS,
+            grid_size=args.N or defaults["N"],
+            num_actions=args.NA or defaults["NA"],
+            num_agents=args.nagents or (32 if w == "burger-marl" else 1),
+            L=args.L, dt=args.dt or defaults["dt"], T=args.T or defaults["T"],
+            nu=args.nu or defaults["nu"], episode_length=args.episodelength,
+            ic_case=args.ic or defaults["ic"], spectral_reward=args.specreward,
+            forcing=args.forcing, dforce=args.dforce, ssmforce=args.ssmforce,
+            noise=args.noise, seed=args.seed, stepper=args.stepper,
+            nunoise=args.nunoise, version=args.version,
+            ssm=args.ssm, dsm=args.dsm)
+        if w == "burger-fd":
+            kw["scheme"] = "fd"
+            w = "burger"
+        elif kw["num_agents"] > 1:
+            w = "burger"
+        env = registry.make_env(w, n_dns=args.ndns, **kw)
+        gamma = args.gamma if args.gamma is not None else 1.0
+    elif w == "ks":
+        env = registry.make_env(
+            "ks", N_dns=args.NDNS if args.NDNS != 512 else 1024,
+            grid_size=args.N or 32, num_actions=args.NA or 32,
+            episode_length=args.episodelength, noise=args.noise,
+            seed=args.seed, n_dns=args.ndns)
+        gamma = args.gamma if args.gamma is not None else 1.0
+    elif w in ("diffusion-simple", "diffusion-error", "diffusion-stencil3"):
+        env = registry.make_env(
+            w, N=args.N or 128, num_agents=args.nagents or 1,
+            dt=args.dt or 0.01, nu=args.nu or 0.1,
+            episode_length=args.episodelength,
+            ic_case=args.ic or "sinus", noise=args.noise if args.noise else 0.5)
+        gamma = args.gamma if args.gamma is not None else 0.95
+    elif w == "advection-simple":
+        env = registry.make_env(
+            w, N=args.N or 32, num_agents=args.nagents or 1,
+            dt=args.dt or 0.01, nu=args.nu or 0.5,
+            episode_length=args.episodelength, noise=args.noise)
+        gamma = args.gamma if args.gamma is not None else 0.95
+    elif w == "laplace":
+        env = registry.make_env(
+            w, num_agents=args.nagents or 32, dt=args.dt or 0.01,
+            episode_length=args.episodelength if args.episodelength != 500 else 100,
+            noise=args.noise)
+        gamma = args.gamma if args.gamma is not None else 0.95
+    else:
+        raise SystemExit(f"unknown workload {w}")
+
+    rl_cfg = trainer.default_rl_config(
+        env, width=args.width, gamma=gamma, lr=args.lr, init_noise=args.iex,
+        multi_agent_relationship=args.mar,
+        replay_start_experiences=20000 * args.episodelength // 500,
+        replay_max_experiences=100000 * args.episodelength // 500)
+    tc = trainer.TrainerConfig(num_envs=args.numenvs, max_experiences=args.NE,
+                               seed=args.seed)
+    return env, rl_cfg, tc
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from marlpde_tpu.train import trainer
+    from marlpde_tpu.utils import checkpoint as ckpt
+
+    env, rl_cfg, tc = make_workload(args)
+    result_dir = f"_result_{args.workload}_{args.run}"
+    os.makedirs(result_dir, exist_ok=True)
+
+    if args.test:
+        import jax
+        ts = ckpt.load_train_state(result_dir, rl_cfg)
+        if ts is None:
+            raise SystemExit(f"--test: no checkpoint in {result_dir}")
+        rets = trainer.evaluate(env, rl_cfg, ts, jax.random.key(args.seed), 8)
+        print(json.dumps({"workload": args.workload,
+                          "test_mean_return": float(np.mean(rets)),
+                          "test_returns": np.asarray(rets).mean(-1).tolist()}))
+        return
+
+    def save_cb(gen, ts, rep, history):
+        if gen % 25 == 0:   # File Output Frequency = 25 (run-vracer-burger.py:199)
+            ckpt.save_train_state(result_dir, ts, history)
+
+    ts, rep, history = trainer.train(env, rl_cfg, tc, callback=save_cb)
+    ckpt.save_train_state(result_dir, ts, history)
+    print(json.dumps({"workload": args.workload,
+                      "final_mean_return": history["mean_return"][-1],
+                      "generations": history["gen"][-1]}))
+
+
+if __name__ == "__main__":
+    main()
