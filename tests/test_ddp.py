@@ -1,0 +1,121 @@
+"""DDP supervised-closure subproject tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from marlpde_tpu.ddp import pipeline
+
+
+class TestFiltering:
+    def test_filter_bar_matches_reference(self, rng):
+        # ddp/helpers.py:6-12 literal re-derivation
+        N, n_sub = 64, 16
+        u = rng.standard_normal(N)
+        v = np.fft.fft(u)
+        vbar = np.concatenate((v[:(n_sub + 1) // 2], v[-(n_sub - 1) // 2:]))
+        want = np.real(np.fft.ifft(vbar)) * n_sub / N
+        got = np.asarray(pipeline.filter_bar(jnp.asarray(u), n_sub))
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_calc_bar_matches_reference(self, rng):
+        # ddp/helpers.py:15-29
+        N, n_sub, L = 64, 16, 100.0
+        U = rng.standard_normal(N)
+        F = rng.standard_normal(N)
+        u_bar, pi, f_bar = pipeline.calc_bar(jnp.asarray(U), jnp.asarray(F),
+                                             n_sub, L)
+
+        def fb(u):
+            v = np.fft.fft(u)
+            vb = np.concatenate((v[:(n_sub + 1) // 2], v[-(n_sub - 1) // 2:]))
+            return np.real(np.fft.ifft(vb)) * n_sub / N
+
+        tau = 0.5 * (fb(U * U) - fb(U) ** 2)
+        want_pi = (tau - np.roll(tau, 1)) / (L / n_sub)
+        np.testing.assert_allclose(np.asarray(pi), want_pi, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(u_bar), fb(U), atol=1e-12)
+
+    def test_shift_augment_is_paired_periodic_shift(self, rng):
+        a = jnp.asarray(rng.standard_normal((4, 8)))
+        b = jnp.asarray(rng.standard_normal((4, 8)))
+        a2, b2 = pipeline.shift_augment(jax.random.key(0), a, b)
+        # each row is a rotation of the original, same shift for both arrays
+        for i in range(4):
+            row = np.asarray(a2[i])
+            found = False
+            for s in range(8):
+                if np.allclose(row, np.roll(np.asarray(a[i]), -s)):
+                    np.testing.assert_allclose(np.asarray(b2[i]),
+                                               np.roll(np.asarray(b[i]), -s))
+                    found = True
+            assert found
+
+
+class TestDnsGeneration:
+    def test_generates_finite_trajectory(self):
+        cfg = pipeline.DdpConfig(N=128, n_les=32)
+        U, F = pipeline.generate_dns(cfg, 200, jax.random.key(0))
+        assert U.shape == (201, 128)
+        assert np.isfinite(np.asarray(U)).all()
+        # forcing is piecewise-constant over s=20-step blocks
+        f = np.asarray(F)
+        assert np.allclose(f[1], f[20]) and not np.allclose(f[20], f[21])
+
+
+class TestClosureTraining:
+    def test_learns_identity_like_map(self, rng):
+        # trivially learnable target: PI = 0.1 * u_bar
+        x = rng.standard_normal((512, 16)).astype(np.float32)
+        y = 0.1 * x
+        model = pipeline.train_closure(jnp.asarray(x), jnp.asarray(y),
+                                       jax.random.key(0), epochs=40,
+                                       batch_size=128,
+                                       net=pipeline.ClosureNet(n_out=16, width=32,
+                                                               n_hidden=2))
+        pred = np.asarray(model.predict(jnp.asarray(x[:10])))
+        mse = np.mean((pred - y[:10]) ** 2)
+        assert mse < 0.05 * np.var(y)
+
+    def test_transfer_learning_freezes_trunk(self, rng):
+        x = rng.standard_normal((128, 8)).astype(np.float32)
+        y = 0.5 * x
+        net = pipeline.ClosureNet(n_out=8, width=16, n_hidden=2)
+        m1 = pipeline.train_closure(jnp.asarray(x), jnp.asarray(y),
+                                    jax.random.key(0), epochs=5, batch_size=64,
+                                    net=net)
+        mask = pipeline.head_only_mask(m1.params)
+        m2 = pipeline.train_closure(jnp.asarray(x), jnp.asarray(-0.5 * x),
+                                    jax.random.key(1), epochs=5, batch_size=64,
+                                    net=net, params=m1.params,
+                                    trainable_mask=mask)
+        # trunk layers unchanged, head changed
+        layers = sorted(m1.params["params"].keys())
+        for lay in layers[:-1]:
+            for k in m1.params["params"][lay]:
+                np.testing.assert_array_equal(
+                    np.asarray(m1.params["params"][lay][k]),
+                    np.asarray(m2.params["params"][lay][k]))
+        head = layers[-1]
+        assert not np.allclose(np.asarray(m1.params["params"][head]["kernel"]),
+                               np.asarray(m2.params["params"][head]["kernel"]))
+
+
+class TestAposteriori:
+    def test_rollout_shapes_and_stability(self, rng):
+        cfg = pipeline.DdpConfig(N=128, n_les=32)
+        n = cfg.n_les
+        net = pipeline.ClosureNet(n_out=n, width=16, n_hidden=1)
+        params = net.init(jax.random.key(0), jnp.zeros((1, n)))
+        # zero-ish closure: scale outputs to ~0
+        model = pipeline.ClosureModel(params=params, mean_in=0.0, std_in=1.0,
+                                      mean_out=0.0, std_out=1e-6, net=net)
+        x = np.linspace(0, cfg.L, n, endpoint=False)
+        u0 = jnp.asarray(np.sin(2 * np.pi * 2 * x / cfg.L), jnp.float32)
+        fseq = jnp.zeros((50, n), jnp.float32)
+        uu = pipeline.aposteriori_rollout(model, cfg, u0, u0, fseq, 50)
+        assert uu.shape == (51, n)
+        assert np.isfinite(np.asarray(uu)).all()
+        # with a ~zero closure and no forcing, energy decays (viscous Burgers)
+        assert np.abs(np.asarray(uu[-1])).max() < np.abs(np.asarray(uu[0])).max() + 1e-3
