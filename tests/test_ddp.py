@@ -117,5 +117,24 @@ class TestAposteriori:
         uu = pipeline.aposteriori_rollout(model, cfg, u0, u0, fseq, 50)
         assert uu.shape == (51, n)
         assert np.isfinite(np.asarray(uu)).all()
-        # with a ~zero closure and no forcing, energy decays (viscous Burgers)
-        assert np.abs(np.asarray(uu[-1])).max() < np.abs(np.asarray(uu[0])).max() + 1e-3
+        # bounded: the under-resolved shock Gibbs-overshoots (and piles up
+        # aliased energy — the very effect the closure exists to fix), but
+        # viscosity keeps the trajectory O(1)
+        assert np.abs(np.asarray(uu)).max() < 3.0
+
+    def test_resolved_rollout_dissipates_energy(self):
+        # on a resolved grid the no-model LES is just viscous Burgers: decay
+        cfg = pipeline.DdpConfig(N=128, n_les=128)
+        n = cfg.n_les
+        net = pipeline.ClosureNet(n_out=n, width=8, n_hidden=1)
+        params = net.init(jax.random.key(0), jnp.zeros((1, n)))
+        model = pipeline.ClosureModel(params=params, mean_in=0.0, std_in=1.0,
+                                      mean_out=0.0, std_out=1e-8, net=net)
+        # small-amplitude field like the filtered steady-state DNS the
+        # reference predicts from (LES dt = s*dt = 0.2 is CFL-marginal at
+        # amplitude 1)
+        x = np.linspace(0, cfg.L, n, endpoint=False)
+        u0 = jnp.asarray(0.1 * np.sin(2 * np.pi * 2 * x / cfg.L), jnp.float32)
+        fseq = jnp.zeros((50, n), jnp.float32)
+        uu = pipeline.aposteriori_rollout(model, cfg, u0, u0, fseq, 50)
+        assert (np.asarray(uu[-1]) ** 2).sum() < (np.asarray(uu[0]) ** 2).sum()
