@@ -39,29 +39,33 @@ def main():
     rl_cfg = trainer.default_rl_config(env, width=128)
     ts = vracer.init_train(rl_cfg, jax.random.key(0))
 
+    pool = env.consts
     reset_keys = jax.random.split(jax.random.key(1), B)
-    state, obs = jax.jit(jax.vmap(env.reset))(reset_keys, jnp.arange(B))
-
-    def macro(carry, k):
-        st, ob = carry
-        actions, _, _ = vracer.act(rl_cfg, ts, ob, k)
-        st, ob2, rew, done, _ = jax.vmap(env.step)(st, actions)
-        return (st, ob2), rew.mean()
+    state, obs = jax.jit(
+        lambda p, ks, cs: jax.vmap(lambda k, c: env.reset(p, k, c))(ks, cs)
+    )(pool, reset_keys, jnp.arange(B))
 
     @jax.jit
-    def run(state, obs, key):
+    def run(pool, ts, state, obs, key):
+        def macro(carry, k):
+            st, ob = carry
+            actions, _, _ = vracer.act(rl_cfg, ts, ob, k)
+            st, ob2, rew, done, _ = jax.vmap(
+                lambda s, a: env.step(pool, s, a))(st, actions)
+            return (st, ob2), rew.mean()
+
         keys = jax.random.split(key, macro_steps)
         (st, ob), rews = jax.lax.scan(macro, (state, obs), keys)
         return st, ob, rews.mean()
 
     # compile + warmup
-    st, ob, r = run(state, obs, jax.random.key(2))
+    st, ob, r = run(pool, ts, state, obs, jax.random.key(2))
     jax.block_until_ready(r)
 
     t0 = time.perf_counter()
     n_rep = 3
     for i in range(n_rep):
-        st, ob, r = run(st, ob, jax.random.key(3 + i))
+        st, ob, r = run(pool, ts, st, ob, jax.random.key(3 + i))
     jax.block_until_ready(r)
     dt = (time.perf_counter() - t0) / n_rep
 

@@ -54,12 +54,12 @@ def evaluate_policy(cfg: burger_env.BurgerEnvConfig, pool, rl_cfg, ts,
     is given (burger_testing_environment.py:168-179)."""
     key = key if key is not None else jax.random.key(0)
     n_pool = int(pool.nu.shape[0])
-    ep = jax.jit(lambda k, i: _episode_with_policy(cfg, pool, rl_cfg, ts, k, i))
+    ep = jax.jit(lambda p, t, k, i: _episode_with_policy(cfg, p, rl_cfg, t, k, i))
 
     rel_errs, actions, cums = [], [], []
     for i in range(n_pool):
         key, k = jax.random.split(key)
-        traj, final = ep(k, jnp.asarray(i))
+        traj, final = ep(pool, ts, k, jnp.asarray(i))
         rel_errs.append(np.asarray(traj["rel_err"]))
         actions.append(np.asarray(traj["actions"]).reshape(cfg.episode_length, -1))
         cums.append(np.asarray(final.cum_reward))
@@ -89,15 +89,16 @@ def compare_with_uncontrolled(cfg: burger_env.BurgerEnvConfig, pool, rl_cfg, ts,
     controlled episode AND a zero-action baseline; optionally makePlot."""
     key = key if key is not None else jax.random.key(0)
     traj_c, final_c = jax.jit(
-        lambda k: _episode_with_policy(cfg, pool, rl_cfg, ts, k, jnp.asarray(sidx)))(key)
+        lambda p, t, k: _episode_with_policy(cfg, p, rl_cfg, t, k,
+                                             jnp.asarray(sidx)))(pool, ts, key)
 
-    def zero_episode(k):
-        state, obs = burger_env.reset(cfg, pool, k, jnp.asarray(sidx))
+    def zero_episode(p, k):
+        state, obs = burger_env.reset(cfg, p, k, jnp.asarray(sidx))
 
         def macro(carry, _):
             st, ob = carry
             a = jnp.zeros((cfg.num_agents, cfg.actions_per_agent), st.solver.u.dtype)
-            st2, ob2, rew, done, _ = burger_env.step(cfg, pool, st, a)
+            st2, ob2, rew, done, _ = burger_env.step(cfg, p, st, a)
             return (st2, ob2), dict(u=st2.solver.u, reward=rew,
                                     rel_err=st2.prev_rel_err)
 
@@ -105,7 +106,7 @@ def compare_with_uncontrolled(cfg: burger_env.BurgerEnvConfig, pool, rl_cfg, ts,
                                         length=cfg.episode_length)
         return traj, final
 
-    traj_b, final_b = jax.jit(zero_episode)(key)
+    traj_b, final_b = jax.jit(zero_episode)(pool, key)
 
     result = dict(
         controlled_cumreward=np.asarray(final_c.cum_reward),

@@ -87,6 +87,28 @@ def burger_turbulence(tseed, offset, x, L, dtype=None):
     return u0
 
 
+def burger_turbulence_numpy(tseed, offset, x, L):
+    """Host float64 version of the turbulence IC (bit-parity with the LCG loop)."""
+    x = np.asarray(x, np.float64)
+    N = x.shape[-1]
+    rng = 123456789 + int(tseed)
+    u0 = np.ones(N)
+    for k in range(1, N):
+        rng = (LCG_A * rng + LCG_C) % LCG_M
+        phase = rng / LCG_M * 2.0 * np.pi
+        Ek = 5.0 ** (-5.0 / 3.0) if k <= 5 else k ** (-5.0 / 3.0)
+        u0 += np.sqrt(2 * Ek) * np.sin(k * 2 * np.pi * (x + offset) / L + phase)
+    idx = 0
+    criterion = np.sqrt(np.sum((u0 - 1.0) ** 2) / N)
+    while criterion < 0.65 or criterion > 0.75:
+        u0 *= 0.7 / criterion
+        criterion = np.sqrt(np.sum((u0 - 1.0) ** 2) / N)
+        idx += 1
+        if idx > 100:
+            break
+    return u0
+
+
 def burger_sinus(offset, x, L):
     """sin(4*pi*(x+offset)/L)   (Burger.py:224)"""
     return jnp.sin(4.0 * np.pi * (x + offset) / L)

@@ -144,11 +144,19 @@ def _dns_ic(cfg: BurgerEnvConfig, seed, key, dtype):
 
 
 def make_dns_pool(cfg: BurgerEnvConfig, n_dns: int, key=None,
-                  dtype=jnp.float32) -> DnsPool:
+                  dtype=jnp.float32, host: bool = True) -> DnsPool:
     """Simulate the DNS pool (burger_environment.py:11-16, seeds seed+i per
-    run-vracer-burger.py:47) and precompute reward/interp tables."""
+    run-vracer-burger.py:47) and precompute reward/interp tables.
+
+    host=True (default): the DNS integrates in float64 numpy on the host —
+    a once-per-run cost that gives reference-grade fp64 ground truth even when
+    the TPU envs run fp32, and keeps the big 5000-step trajectory compile off
+    the device.  host=False runs the same build fully on-device (jax).
+    """
     if key is None:
         key = jax.random.key(cfg.seed)
+    if host:
+        return _make_dns_pool_host(cfg, n_dns, key, dtype)
     dcfg = cfg.dns_solver
     g = dcfg.grid
     dx = g.dx
@@ -171,6 +179,72 @@ def make_dns_pool(cfg: BurgerEnvConfig, n_dns: int, key=None,
     keys = jax.random.split(key, n_dns)
     rows = [build(i, keys[i]) for i in range(n_dns)]
     stacked = {k: jnp.stack([r[k] for r in rows]) for k in rows[0]}
+    return DnsPool(**stacked)
+
+
+def _make_dns_pool_host(cfg: BurgerEnvConfig, n_dns: int, key, dtype) -> DnsPool:
+    """Host float64 numpy DNS build; literal ABCN per Burger.py:482-489."""
+    dcfg = cfg.dns_solver
+    N, L, dt = cfg.N_dns, cfg.L, cfg.dt
+    k = np.fft.fftfreq(N, L / (2 * np.pi * N))
+    k1 = 1j * k
+    x = np.linspace(0, L, N, endpoint=False)
+    nsteps = cfg.n_dns_steps
+    rows = []
+    keys = jax.random.split(key, n_dns)
+    for i in range(n_dns):
+        kf, kn, kic = jax.random.split(keys[i], 3)
+        rf1j, rf2j = burger.draw_forcing_tables(kf, cfg.stepper, jnp.float32)
+        rf1 = np.asarray(rf1j, np.float64)
+        rf2 = np.asarray(rf2j, np.float64)
+        nu = cfg.nu
+        if cfg.nunoise:
+            nu = 0.01 + 0.02 * float(jax.random.uniform(kn))
+        if cfg.ic_case == "turbulence":
+            u0 = ic.burger_turbulence_numpy(cfg.seed + i, 0.0, x, L)
+        else:
+            u0 = np.asarray(_dns_ic(cfg, cfg.seed + i, kic, jnp.float32),
+                            np.float64)
+        uu = np.empty((nsteps + 1, N))
+        vv = np.empty((nsteps + 1, N), complex)
+        u = u0.copy()
+        v = np.fft.fft(u0)
+        uu[0], vv[0] = u, v
+        fn_old = k1 * np.fft.fft(0.5 * u0 * u0)
+        C = 0.5 * (k**2) * nu * dt
+        if cfg.forcing:
+            # precompute the stepper-cycled forcing spectra (Burger.py:410-421)
+            A = np.sqrt(2.0) / L
+            fcols = np.zeros((cfg.stepper, N))
+            for ridx in range(cfg.stepper):
+                for kk in range(1, 4):
+                    fcols[ridx] += (rf1[kk, ridx] * A
+                                    / np.sqrt(kk * cfg.stepper * dt)
+                                    * np.cos(2 * np.pi * kk * x / L
+                                             + 2 * np.pi * rf2[kk, ridx]))
+            fcols_hat = np.fft.fft(fcols, axis=-1)
+        for n in range(nsteps):
+            F = fcols_hat[n % cfg.stepper] if cfg.forcing else 0.0
+            Fn = k1 * np.fft.fft(0.5 * u * u)
+            v = ((1.0 - C) * v - 0.5 * dt * (3.0 * Fn - fn_old) + dt * F) / (1.0 + C)
+            fn_old = Fn
+            u = np.real(np.fft.ifft(v))
+            uu[n + 1], vv[n + 1] = u, v
+        ek_kt = 0.5 * np.abs(vv) ** 2 / N * (L / N)
+        ek_ktt = (np.cumsum(ek_kt, 0)
+                  / np.arange(1, nsteps + 2)[:, None])[:, : cfg.grid_size // 2]
+        # periodic-spline coefficients (circulant solve, interp.periodic_spline_m)
+        d2 = np.roll(uu, 1, -1) - 2.0 * uu + np.roll(uu, -1, -1)
+        eig = 4.0 + 2.0 * np.cos(2.0 * np.pi * np.arange(N) / N)
+        m = np.real(np.fft.ifft(np.fft.fft(6.0 * d2, axis=-1) / eig, axis=-1))
+        rows.append(dict(uu=uu, spline_m=m, v0=vv[0], ek_ktt=ek_ktt, nu=nu,
+                         randfac1=rf1, randfac2=rf2))
+    cdtype = jnp.result_type(dtype, jnp.complex64)
+    stacked = {}
+    for kname in rows[0]:
+        arrs = np.stack([r[kname] for r in rows])
+        tgt = cdtype if kname == "v0" else dtype
+        stacked[kname] = jnp.asarray(arrs, tgt)
     return DnsPool(**stacked)
 
 

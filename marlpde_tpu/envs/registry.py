@@ -37,11 +37,12 @@ def make_burger_env(cfg: burger_env.BurgerEnvConfig = None, n_dns: int = 1,
         "burger-marl" if cfg.num_agents > 1 else "burger")
     return Env(
         name=name, cfg=cfg,
-        reset=partial(burger_env.reset, cfg, pool),
-        step=partial(burger_env.step, cfg, pool),
+        reset=partial(burger_env.reset, cfg),
+        step=partial(burger_env.step, cfg),
         obs_dim=cfg.obs_dim, num_agents=cfg.num_agents,
         act_dim=cfg.actions_per_agent, episode_length=cfg.episode_length,
-        action_low=-5.0, action_high=5.0)   # run-vracer-burger.py:156-157
+        action_low=-5.0, action_high=5.0,   # run-vracer-burger.py:156-157
+        consts=pool)
 
 
 def make_ks_env(cfg: ks_env.KSEnvConfig = None, n_dns: int = 1, pool=None,
@@ -54,11 +55,12 @@ def make_ks_env(cfg: ks_env.KSEnvConfig = None, n_dns: int = 1, pool=None,
         pool = ks_env.make_dns_pool(cfg, n_dns, dtype=dtype)
     return Env(
         name="ks", cfg=cfg,
-        reset=partial(ks_env.reset, cfg, pool),
-        step=partial(ks_env.step, cfg, pool),
+        reset=partial(ks_env.reset, cfg),
+        step=partial(ks_env.step, cfg),
         obs_dim=cfg.obs_dim, num_agents=cfg.num_agents,
         act_dim=cfg.actions_per_agent, episode_length=cfg.episode_length,
-        action_low=-0.5, action_high=0.5)   # run-vracer-ks.py action bounds
+        action_low=-0.5, action_high=0.5,   # run-vracer-ks.py action bounds
+        consts=pool)
 
 
 def make_diffusion_env(cfg: diffusion_env.DiffusionEnvConfig = None,
@@ -72,8 +74,8 @@ def make_diffusion_env(cfg: diffusion_env.DiffusionEnvConfig = None,
     lo, hi = (-0.1, 0.1) if cfg.mode == "error" else (-5.0, 5.0)
     return Env(
         name=name, cfg=cfg,
-        reset=partial(diffusion_env.reset, cfg),
-        step=partial(diffusion_env.step, cfg),
+        reset=lambda consts, key, count: diffusion_env.reset(cfg, key, count),
+        step=lambda consts, state, a: diffusion_env.step(cfg, state, a),
         obs_dim=cfg.obs_dim, num_agents=cfg.num_agents,
         act_dim=cfg.actions_per_agent, episode_length=cfg.episode_length,
         action_low=lo, action_high=hi)      # run-vracer-diffusion-simple.py:95-96
@@ -87,8 +89,8 @@ def make_advection_env(cfg: advection_env.AdvectionEnvConfig = None,
         cfg = dataclasses.replace(cfg, **overrides)
     return Env(
         name="advection-simple", cfg=cfg,
-        reset=partial(advection_env.reset, cfg),
-        step=partial(advection_env.step, cfg),
+        reset=lambda consts, key, count: advection_env.reset(cfg, key, count),
+        step=lambda consts, state, a: advection_env.step(cfg, state, a),
         obs_dim=cfg.obs_dim, num_agents=cfg.num_agents,
         act_dim=cfg.actions_per_agent, episode_length=cfg.episode_length,
         action_low=-2.0, action_high=2.0)   # run-vracer-advection-simple.py:95-96
@@ -101,8 +103,8 @@ def make_laplace_env(cfg: laplace_env.LaplaceEnvConfig = None, **overrides) -> E
         cfg = dataclasses.replace(cfg, **overrides)
     return Env(
         name="laplace", cfg=cfg,
-        reset=partial(laplace_env.reset, cfg),
-        step=partial(laplace_env.step, cfg),
+        reset=lambda consts, key, count: laplace_env.reset(cfg, key, count),
+        step=lambda consts, state, a: laplace_env.step(cfg, state, a),
         obs_dim=cfg.obs_dim, num_agents=cfg.num_agents,
         act_dim=cfg.actions_per_agent, episode_length=cfg.episode_length,
         action_low=-3.0, action_high=3.0)   # run-vracer-laplace.py:85-86

@@ -68,13 +68,13 @@ def make_sharded_generation(env: Env, rl_cfg: vracer.VracerConfig, mesh: Mesh,
     n_dev = mesh.devices.size
     cap_per_dev = max(rl_cfg.replay_capacity_episodes // n_dev, envs_per_device)
 
-    def local_generation(ts, rep, key, episode_base):
+    def local_generation(ts, rep, key, episode_base, consts):
         """Runs on each device via shard_map (inputs are local shards)."""
         dev = jax.lax.axis_index(axis)
         k_col, k_upd = jax.random.split(jax.random.fold_in(key[0], dev))
         base = episode_base[0] + dev * envs_per_device
         traj, final = collect_episodes(env, rl_cfg, ts, k_col,
-                                       envs_per_device, base)
+                                       envs_per_device, base, consts=consts)
         rep = replay_mod.add_episodes(rep, traj)
         ts = vracer.observe_episodes(rl_cfg, ts, traj)
         # keep normalizer stats identical across devices
@@ -126,7 +126,7 @@ def make_sharded_generation(env: Env, rl_cfg: vracer.VracerConfig, mesh: Mesh,
     # manual pcasts at every scan entry for no semantic gain here.
     gen_fn = jax.jit(jax.shard_map(
         local_generation, mesh=mesh,
-        in_specs=(P(), rep_spec, P(axis), P(axis)),
+        in_specs=(P(), rep_spec, P(axis), P(axis), P()),
         out_specs=(P(), rep_spec, P()), check_vma=False))
 
     def init_replay_shards():
@@ -151,5 +151,5 @@ def run_generations(env: Env, rl_cfg, mesh: Mesh, envs_per_device: int,
         key, kg = jax.random.split(key)
         keys = jax.random.split(kg, n_dev)
         bases = jnp.full((n_dev,), g * n_dev * envs_per_device, jnp.int32)
-        ts, rep, stats = gen_fn(ts, rep, keys, bases)
+        ts, rep, stats = gen_fn(ts, rep, keys, bases, env.consts)
     return ts, rep, stats

@@ -56,10 +56,11 @@ def train(env: Env, rl_cfg: Optional[vracer.VracerConfig] = None,
     rep = replay_mod.init(rl_cfg.replay_capacity_episodes, env.episode_length,
                           env.num_agents, env.obs_dim, env.act_dim)
 
-    collect = jax.jit(lambda ts_, key_, base: collect_episodes(
-        env, rl_cfg, ts_, key_, tc.num_envs, base))
-    collect_det = jax.jit(lambda ts_, key_, base: collect_episodes(
-        env, rl_cfg, ts_, key_, tc.testing_episodes, base, deterministic=True))
+    collect = jax.jit(lambda ts_, key_, base, consts: collect_episodes(
+        env, rl_cfg, ts_, key_, tc.num_envs, base, consts=consts))
+    collect_det = jax.jit(lambda ts_, key_, base, consts: collect_episodes(
+        env, rl_cfg, ts_, key_, tc.testing_episodes, base, deterministic=True,
+        consts=consts))
     add = jax.jit(replay_mod.add_episodes)
     observe = jax.jit(lambda ts_, b: vracer.observe_episodes(rl_cfg, ts_, b))
 
@@ -84,7 +85,7 @@ def train(env: Env, rl_cfg: Optional[vracer.VracerConfig] = None,
 
     while total_exp < tc.max_experiences:
         key, k_c, k_u = jax.random.split(key, 3)
-        traj, final = collect(ts, k_c, episode_base)
+        traj, final = collect(ts, k_c, jnp.asarray(episode_base), env.consts)
         rep = add(rep, traj)
         ts = observe(ts, traj)
         episode_base += tc.num_envs
@@ -111,7 +112,7 @@ def train(env: Env, rl_cfg: Optional[vracer.VracerConfig] = None,
 
         if tc.testing_frequency and gen % tc.testing_frequency == 0:
             key, k_t = jax.random.split(key)
-            ttraj, tfinal = collect_det(ts, k_t, 0)
+            ttraj, tfinal = collect_det(ts, k_t, jnp.asarray(0), env.consts)
             history["test_return"].append(float(tfinal.cum_reward.mean()))
         if verbose and gen % tc.log_every == 0:
             print(f"[trainer] gen {gen} exp {total_exp} return {mean_ret:.5f} "

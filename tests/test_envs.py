@@ -168,12 +168,12 @@ class TestDiffusionEnv:
         cfg = diffusion_env.DiffusionEnvConfig(
             N=N, dt=dt, nu=nu, episode_length=300, noise=0.0)
         env = registry.make_env("diffusion-simple", cfg=cfg)
-        st, obs = env.reset(jax.random.key(0), 0)
+        st, obs = env.reset0(jax.random.key(0), 0)
         st = jax.tree.map(lambda a: a, st)
         rewards = []
         a = jnp.full((1, N), -2.0, jnp.float32)
         for _ in range(300):
-            st, obs, rew, done, _ = env.step(st, a)
+            st, obs, rew, done, _ = env.step0(st, a)
             rewards.append(float(rew[0]))
         # oracle
         x = np.linspace(0, L, N, endpoint=False)
@@ -191,12 +191,12 @@ class TestDiffusionEnv:
     def test_early_stop_on_negative_cumreward(self):
         cfg = diffusion_env.DiffusionEnvConfig(N=16, episode_length=100, noise=0.0)
         env = registry.make_env("diffusion-simple", cfg=cfg)
-        st, obs = env.reset(jax.random.key(0), 0)
+        st, obs = env.reset0(jax.random.key(0), 0)
         # large wrong actions blow up the MSE -> cumreward < 0 -> done
         a = jnp.full((1, 16), 5.0, jnp.float32)
         done_at = None
         for i in range(100):
-            st, obs, rew, done, _ = env.step(st, a)
+            st, obs, rew, done, _ = env.step0(st, a)
             if bool(done) and done_at is None:
                 done_at = i
         assert done_at is not None and done_at < 99
@@ -204,7 +204,7 @@ class TestDiffusionEnv:
     def test_marl_obs_layout(self):
         cfg = diffusion_env.DiffusionEnvConfig(N=16, num_agents=4, noise=0.0)
         env = registry.make_env("diffusion-simple", cfg=cfg)
-        st, obs = env.reset(jax.random.key(0), 0)
+        st, obs = env.reset0(jax.random.key(0), 0)
         assert obs.shape == (4, 6)
         u = np.asarray(st.solver.u)
         np.testing.assert_allclose(np.asarray(obs)[1], u[np.arange(3, 9) % 16], atol=1e-7)
@@ -218,7 +218,7 @@ class TestAdvectionEnv:
         dt = (2 * np.pi / nu) / 200    # advection_errors/plotErrors.py recipe
         cfg = registry.make_env("advection-simple", N=N, dt=dt, noise=0.0).cfg
         env = registry.make_env("advection-simple", cfg=cfg)
-        st, obs = env.reset(jax.random.key(0), 0)
+        st, obs = env.reset0(jax.random.key(0), 0)
         alpha = cfg.solver.alpha
         # pointwise interleaved (a0 -> u_{i+1}, a1 -> u_{i-1})
         pair = np.tile([0.5 - 0.5 * alpha, 0.5 + 0.5 * alpha], N)
@@ -226,7 +226,7 @@ class TestAdvectionEnv:
         got = []
         for _ in range(30):
             was_done = bool(st.done)
-            st, obs, rew, done, _ = env.step(st, a)
+            st, obs, rew, done, _ = env.step0(st, a)
             if not was_done:
                 got.append(float(rew[0]))
         # oracle: plain Lax + analytical sinus mse (Advection.py:138-152,238-249)
@@ -249,10 +249,10 @@ class TestAdvectionEnv:
 class TestLaplaceEnv:
     def test_direct_reward_matches_residual(self, rng):
         env = registry.make_env("laplace", num_agents=8, sforce="sin")
-        st, obs = env.reset(jax.random.key(0), 0)
+        st, obs = env.reset0(jax.random.key(0), 0)
         assert obs.shape == (8, 4)
         a = jnp.asarray(rng.standard_normal((8, 3)), jnp.float32)
-        st2, obs2, rew, done, _ = env.step(st, a)
+        st2, obs2, rew, done, _ = env.step0(st, a)
         u = np.asarray(st2.solver.u)
         f = np.asarray(st2.solver.force)
         dx = env.cfg.solver.grid.dx
