@@ -69,6 +69,9 @@ class BurgerEnvConfig:
     reward_factor: float = 1.0
     truncation_penalty: float = -np.inf   # burger_environment.py:200
     coupled: bool = False            # baseline-relative reward (coupled_burger_environment.py)
+    dns_mode: str = "pool"           # 'pool' | 'lockstep' (fresh DNS per episode,
+                                     # advanced alongside the LES — the nunoise
+                                     # path of burger_environment.py:57-75)
 
     @property
     def n_dns_steps(self) -> int:
@@ -402,5 +405,144 @@ def step(cfg: BurgerEnvConfig, pool: DnsPool, state: BurgerEnvState,
         cum_reward=state.cum_reward + jnp.where(state.done, 0.0, reward))
     reward = jnp.where(state.done, jnp.zeros_like(reward), reward)
     obs = _observe(cfg, new_state)
+    obs = jnp.where(jnp.isfinite(obs), obs, 0.0)
+    return new_state, obs, reward, done, dict(blown=blown)
+
+
+# ----------------------------------------------------------- lockstep-DNS mode
+
+class BurgerLockstepState(struct.PyTreeNode):
+    """Env state carrying its own DNS, advanced alongside the LES.
+
+    The reference rebuilds a full DNS per episode under nunoise
+    (burger_environment.py:57-75), storing the whole trajectory.  On TPU with
+    thousands of vmapped envs that is O(T*N_dns) memory per env; running the
+    DNS in lockstep keeps it O(N_dns) and exact."""
+
+    les: burger.BurgerState
+    dns: burger.BurgerState
+    u_prev: jax.Array
+    macro_step: jax.Array
+    ek_sum: jax.Array          # LES running spectrum sum
+    dns_ek_sum: jax.Array      # DNS running spectrum sum, first g//2 cols
+    prev_rel_err: jax.Array
+    done: jax.Array
+    cum_reward: jax.Array
+
+
+def reset_lockstep(cfg: BurgerEnvConfig, consts, key, episode_count):
+    """Fresh DNS per episode: nu ~ U(0.01, 0.03) under nunoise (Burger.py:89),
+    turbulence seed = cfg.seed + episode_count (vmappable)."""
+    del consts
+    k_nu, k_off, k_f = jax.random.split(key, 3)
+    dtype = jnp.float32 if not jax.config.jax_enable_x64 else jnp.float64
+    dcfg, lcfg = cfg.dns_solver, cfg.les_solver
+    g = cfg.grid_size
+
+    nu = jnp.asarray(cfg.nu, dtype)
+    if cfg.nunoise:
+        nu = 0.01 + 0.02 * jax.random.uniform(k_nu, dtype=dtype)
+    offset = _draw_offset(cfg, k_off, dtype)
+
+    x_d = jnp.asarray(dcfg.grid.x, dtype)
+    tseed = cfg.seed + episode_count
+    if cfg.ic_case == "turbulence":
+        u0_d = ic.burger_turbulence(tseed, 0.0, x_d, cfg.L, dtype=dtype)
+    elif cfg.ic_case == "sinus":
+        u0_d = ic.burger_sinus(0.0, x_d, cfg.L)
+    else:
+        u0_d = jnp.zeros(cfg.N_dns, dtype)
+    rf1, rf2 = burger.draw_forcing_tables(k_f, cfg.stepper, dtype)
+    dns = burger.init(dcfg, u0=u0_d, nu=nu, randfac1=rf1, randfac2=rf2)
+
+    dns_k = jnp.asarray(dcfg.grid.k, dtype)
+    v0off = spectral.phase_shift(dns.v, offset, dns_k)
+    v0 = spectral.restrict_modes(v0off, g)
+    les = burger.init(lcfg, v0=v0, nu=nu, offset=offset,
+                      randfac1=rf1, randfac2=rf2)
+
+    state = BurgerLockstepState(
+        les=les, dns=dns, u_prev=les.u,
+        macro_step=jnp.zeros((), jnp.int32),
+        ek_sum=spectral.energy_spectrum(les.v, lcfg.grid.dx),
+        dns_ek_sum=spectral.energy_spectrum(dns.v, dcfg.grid.dx)[: g // 2],
+        prev_rel_err=jnp.zeros((), dtype),
+        done=jnp.zeros((), bool),
+        cum_reward=jnp.zeros(cfg.num_agents, dtype))
+    obs = features.burger_features(cfg.version, cfg.num_agents, les.u, les.u,
+                                   les.v, cfg.dt, lcfg.grid.dx)
+    return state, obs
+
+
+def step_lockstep(cfg: BurgerEnvConfig, consts, state: BurgerLockstepState,
+                  actions: jax.Array):
+    """Macro-step advancing DNS and LES together; rewards as in `step`.
+
+    MSE reward interpolates the *current* DNS field (cubic periodic spline on
+    the fly); spectral reward uses running cumulative-mean spectra on both
+    sides (identical in value to the pool path, since the DNS trajectory index
+    always equals the LES step index)."""
+    del consts
+    dtype = state.les.u.dtype
+    dcfg, lcfg = cfg.dns_solver, cfg.les_solver
+    dx_l, dx_d = lcfg.grid.dx, dcfg.grid.dx
+    g = cfg.grid_size
+    B = jnp.asarray(action_basis(cfg), dtype)
+    action_field = actions.reshape(-1) @ B
+
+    def sub(carry, _):
+        les, dns, ek_sum, dns_ek, mse_acc, u_prev = carry
+        new_les, _ = burger.step(lcfg, les, action_field)
+        new_dns, _ = burger.step(dcfg, dns)
+        ek_sum = ek_sum + spectral.energy_spectrum(new_les.v, dx_l)
+        dns_ek = dns_ek + spectral.energy_spectrum(new_dns.v, dx_d)[: g // 2]
+        if not cfg.spectral_reward:
+            newx = interp.shifted_query_points(
+                jnp.asarray(lcfg.grid.x, dtype), new_les.offset, cfg.L)
+            truth = interp.cubic_interp(new_dns.u, newx, cfg.L)
+            sq = (truth - new_les.u) ** 2
+            mse_acc = mse_acc - features.agent_block_mean(sq, cfg.num_agents) \
+                / cfg.n_intermediate
+        return (new_les, new_dns, ek_sum, dns_ek, mse_acc, les.u), None
+
+    init_carry = (state.les, state.dns, state.ek_sum, state.dns_ek_sum,
+                  jnp.zeros(cfg.num_agents, dtype), state.u_prev)
+    (les, dns, ek_sum, dns_ek, mse_acc, u_prev), _ = jax.lax.scan(
+        sub, init_carry, None, length=cfg.n_intermediate)
+
+    if cfg.spectral_reward:
+        count = (les.ioutnum + 1).astype(dtype)
+        sgs_ektt = ek_sum[1: g // 2] / count
+        dns_ektt = dns_ek[1: g // 2] / count
+        rel_err = jnp.mean(((jnp.abs(dns_ektt - sgs_ektt)) / dns_ektt) ** 2)
+        reward = jnp.full(cfg.num_agents,
+                          cfg.reward_factor * (state.prev_rel_err - rel_err))
+        new_prev = rel_err
+    else:
+        reward = cfg.reward_factor * mse_acc
+        new_prev = state.prev_rel_err
+
+    blown = ~(jnp.isfinite(les.u).all() & jnp.isfinite(reward).all())
+    reward = jnp.where(blown, jnp.asarray(cfg.truncation_penalty, dtype), reward)
+    macro = state.macro_step + 1
+    done = blown | (macro >= cfg.episode_length) | state.done
+
+    keep = lambda n, o: jax.tree.map(
+        lambda a_, b_: jnp.where(jnp.reshape(state.done, (1,) * a_.ndim), b_, a_),
+        n, o)
+    les = keep(les, state.les)
+    dns = keep(dns, state.dns)
+    new_state = BurgerLockstepState(
+        les=les, dns=dns,
+        u_prev=jnp.where(state.done, state.u_prev, u_prev),
+        macro_step=jnp.where(state.done, state.macro_step, macro),
+        ek_sum=jnp.where(state.done, state.ek_sum, ek_sum),
+        dns_ek_sum=jnp.where(state.done, state.dns_ek_sum, dns_ek),
+        prev_rel_err=jnp.where(state.done, state.prev_rel_err, new_prev),
+        done=done,
+        cum_reward=state.cum_reward + jnp.where(state.done, 0.0, reward))
+    reward = jnp.where(state.done, jnp.zeros_like(reward), reward)
+    obs = features.burger_features(cfg.version, cfg.num_agents, les.u,
+                                   new_state.u_prev, les.v, cfg.dt, dx_l)
     obs = jnp.where(jnp.isfinite(obs), obs, 0.0)
     return new_state, obs, reward, done, dict(blown=blown)

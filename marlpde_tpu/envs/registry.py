@@ -110,6 +110,23 @@ def make_laplace_env(cfg: laplace_env.LaplaceEnvConfig = None, **overrides) -> E
         action_low=-3.0, action_high=3.0)   # run-vracer-laplace.py:85-86
 
 
+def make_burger_lockstep_env(cfg: burger_env.BurgerEnvConfig = None,
+                             **overrides) -> Env:
+    """Fresh-DNS-per-episode mode (nunoise path); no pool needed."""
+    overrides.setdefault("nunoise", True)
+    if cfg is None:
+        cfg = burger_env.BurgerEnvConfig(dns_mode="lockstep", **overrides)
+    elif overrides:
+        cfg = dataclasses.replace(cfg, dns_mode="lockstep", **overrides)
+    return Env(
+        name="burger-lockstep", cfg=cfg,
+        reset=partial(burger_env.reset_lockstep, cfg),
+        step=partial(burger_env.step_lockstep, cfg),
+        obs_dim=cfg.obs_dim, num_agents=cfg.num_agents,
+        act_dim=cfg.actions_per_agent, episode_length=cfg.episode_length,
+        action_low=-5.0, action_high=5.0)
+
+
 def make_coupled_burger_env(**kw) -> Env:
     env = make_burger_env(coupled=True, spectral_reward=False, **kw)
     # run-vracer-coupled-burger.py:68-69: actions in [-1, 1]
@@ -119,6 +136,7 @@ def make_coupled_burger_env(**kw) -> Env:
 
 MAKERS = {
     "burger": make_burger_env,
+    "burger-lockstep": make_burger_lockstep_env,
     "coupled-burger": make_coupled_burger_env,
     "burger-marl": lambda **kw: make_burger_env(num_agents=kw.pop("num_agents", 32), **kw),
     "burger-fd": lambda **kw: make_burger_env(scheme="fd", **kw),

@@ -278,3 +278,40 @@ class TestRollout:
         m = np.asarray(traj["mask"])
         # masks are prefix-shaped: once 0, always 0
         assert ((np.diff(m, axis=1) <= 0) | (m[:, 1:] == 1)).all()
+
+
+class TestLockstepDns:
+    def test_lockstep_matches_pool_env_rewards(self):
+        # with nunoise off, identical ICs and zero actions, the lockstep env's
+        # spectral rewards must match the pool env's
+        cfg = burger_env.BurgerEnvConfig(
+            N_dns=64, grid_size=16, num_actions=16, dt=0.01, T=0.2, nu=0.05,
+            episode_length=5, ic_case="turbulence", spectral_reward=True,
+            noise=0.0, nunoise=False)
+        env_pool = registry.make_env("burger", cfg=cfg, dtype=jnp.float64)
+        env_lock = registry.make_env("burger-lockstep", cfg=cfg, nunoise=False)
+        tp, _ = rollout.zero_action_episode(env_pool, jax.random.key(0))
+        tl, _ = rollout.zero_action_episode(env_lock, jax.random.key(0))
+        np.testing.assert_allclose(np.asarray(tl["rewards"][0, :, 0]),
+                                   np.asarray(tp["rewards"][0, :, 0]),
+                                   atol=2e-5)
+
+    def test_nunoise_draws_different_viscosities(self):
+        env = registry.make_env(
+            "burger-lockstep", N_dns=64, grid_size=16, num_actions=16,
+            dt=0.01, T=0.2, nu=0.05, episode_length=5, ic_case="turbulence",
+            spectral_reward=True, noise=0.0)
+        s1, _ = env.reset0(jax.random.key(1), 0)
+        s2, _ = env.reset0(jax.random.key(2), 1)
+        nu1, nu2 = float(s1.dns.nu), float(s2.dns.nu)
+        assert nu1 != nu2
+        assert 0.01 <= nu1 <= 0.03 and 0.01 <= nu2 <= 0.03  # Burger.py:89
+
+    def test_lockstep_mse_reward_mode(self):
+        env = registry.make_env(
+            "burger-lockstep", N_dns=64, grid_size=16, num_actions=16,
+            dt=0.01, T=0.2, nu=0.05, episode_length=5, ic_case="turbulence",
+            spectral_reward=False, noise=0.0, nunoise=False)
+        traj, final = rollout.zero_action_episode(env, jax.random.key(0))
+        r = np.asarray(traj["rewards"][0, :, 0])
+        assert np.isfinite(r).all() and (r <= 0).all()
