@@ -15,10 +15,15 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+
+def log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
 def main():
@@ -39,11 +44,15 @@ def main():
     rl_cfg = trainer.default_rl_config(env, width=128)
     ts = vracer.init_train(rl_cfg, jax.random.key(0))
 
+    log(f"devices={jax.devices()} B={B} macro={macro_steps} nint={n_intermediate}")
     pool = env.consts
+    log("pool built (host); resetting envs")
     reset_keys = jax.random.split(jax.random.key(1), B)
     state, obs = jax.jit(
         lambda p, ks, cs: jax.vmap(lambda k, c: env.reset(p, k, c))(ks, cs)
     )(pool, reset_keys, jnp.arange(B))
+    jax.block_until_ready(obs)
+    log("reset done; compiling rollout")
 
     @jax.jit
     def run(pool, ts, state, obs, key):
@@ -59,8 +68,10 @@ def main():
         return st, ob, rews.mean()
 
     # compile + warmup
+    t0 = time.perf_counter()
     st, ob, r = run(pool, ts, state, obs, jax.random.key(2))
     jax.block_until_ready(r)
+    log(f"rollout compiled+warm in {time.perf_counter()-t0:.0f}s; timing")
 
     t0 = time.perf_counter()
     n_rep = 3

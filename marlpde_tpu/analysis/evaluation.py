@@ -76,10 +76,12 @@ def evaluate_policy(cfg: burger_env.BurgerEnvConfig, pool, rl_cfg, ts,
     out = dict(relError=np.stack(rel_errs), actions=np.stack(actions),
                cumreward=np.stack(cums), dnsSgsTerms=np.stack(dns_sgs))
     if out_dir:
-        os.makedirs(out_dir, exist_ok=True)
-        np.save(os.path.join(out_dir, f"relError_{run_tag}.npy"), out["relError"])
-        np.save(os.path.join(out_dir, f"sgsTerms_{run_tag}.npy"), out["actions"])
-        np.save(os.path.join(out_dir, f"dnsSgsTerms_{run_tag}.npy"), out["dnsSgsTerms"])
+        from marlpde_tpu.utils.async_sink import AsyncSink
+        sink = AsyncSink(out_dir)
+        sink.write(f"relError_{run_tag}", out["relError"])
+        sink.write(f"sgsTerms_{run_tag}", out["actions"])
+        sink.write(f"dnsSgsTerms_{run_tag}", out["dnsSgsTerms"])
+        sink.flush()
     return out
 
 
