@@ -26,6 +26,18 @@ def log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
+# persistent compilation cache: the axon remote-compile tunnel is slow and
+# occasionally drops mid-run; cached executables let a retry go straight to
+# execution
+_CACHE_DIR = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
+
+
 def main():
     B = int(os.environ.get("BENCH_ENVS", 4096))
     macro_steps = int(os.environ.get("BENCH_MACRO", 50))

@@ -105,15 +105,25 @@ class BurgerEnvConfig:
 
 
 class DnsPool(struct.PyTreeNode):
-    """Precomputed DNS ground truth shared by all envs (leading axis = pool)."""
+    """Precomputed DNS ground truth shared by all envs (leading axis = pool).
+
+    The IC spectrum is stored as a float re/im pair: the axon TPU backend
+    cannot device_put complex host arrays (complex values computed on-device
+    are fine), and a float pair also avoids complex-layout transfers.
+    """
 
     uu: jax.Array        # (P, T+1, N_dns) trajectory
     spline_m: jax.Array  # (P, T+1, N_dns) periodic-spline coefficients of uu
-    v0: jax.Array        # (P, N_dns) complex IC spectrum
+    v0_re: jax.Array     # (P, N_dns) IC spectrum, real part
+    v0_im: jax.Array     # (P, N_dns) IC spectrum, imaginary part
     ek_ktt: jax.Array    # (P, T+1, g//2) cumulative-mean spectrum, cols 0..g/2-1
     nu: jax.Array        # (P,)
     randfac1: jax.Array  # (P, 4, s)
     randfac2: jax.Array  # (P, 4, s)
+
+    @property
+    def v0(self):
+        return self.v0_re + 1j * self.v0_im
 
 
 class BurgerEnvState(struct.PyTreeNode):
@@ -176,7 +186,8 @@ def make_dns_pool(cfg: BurgerEnvConfig, n_dns: int, key=None,
         ek_kt = spectral.energy_spectrum(vv, dx)
         ek_ktt = spectral.cumulative_mean(ek_kt, axis=0)[:, : cfg.grid_size // 2]
         m = interp.periodic_spline_m(uu)
-        return dict(uu=uu, spline_m=m, v0=vv[0], ek_ktt=ek_ktt, nu=nu,
+        return dict(uu=uu, spline_m=m, v0_re=jnp.real(vv[0]),
+                    v0_im=jnp.imag(vv[0]), ek_ktt=ek_ktt, nu=nu,
                     randfac1=rf1, randfac2=rf2)
 
     keys = jax.random.split(key, n_dns)
@@ -240,14 +251,22 @@ def _make_dns_pool_host(cfg: BurgerEnvConfig, n_dns: int, key, dtype) -> DnsPool
         d2 = np.roll(uu, 1, -1) - 2.0 * uu + np.roll(uu, -1, -1)
         eig = 4.0 + 2.0 * np.cos(2.0 * np.pi * np.arange(N) / N)
         m = np.real(np.fft.ifft(np.fft.fft(6.0 * d2, axis=-1) / eig, axis=-1))
-        rows.append(dict(uu=uu, spline_m=m, v0=vv[0], ek_ktt=ek_ktt, nu=nu,
-                         randfac1=rf1, randfac2=rf2))
-    cdtype = jnp.result_type(dtype, jnp.complex64)
+        rows.append(dict(uu=uu, spline_m=m, v0_re=vv[0].real, v0_im=vv[0].imag,
+                         ek_ktt=ek_ktt, nu=nu, randfac1=rf1, randfac2=rf2))
+    # convert dtypes in numpy BEFORE the device transfer: an on-device
+    # convert_element_type of freshly-transferred f64 data is both wasteful
+    # and unsupported on the axon backend
+    rtype = np.float64 if dtype == jnp.float64 else np.float32
     stacked = {}
     for kname in rows[0]:
         arrs = np.stack([r[kname] for r in rows])
-        tgt = cdtype if kname == "v0" else dtype
-        stacked[kname] = jnp.asarray(arrs, tgt)
+        try:
+            stacked[kname] = jax.device_put(np.ascontiguousarray(arrs.astype(rtype)))
+            jax.block_until_ready(stacked[kname])
+        except Exception as e:
+            raise RuntimeError(
+                f"[make_dns_pool] device transfer failed for '{kname}' "
+                f"shape={arrs.shape} dtype={rtype}") from e
     return DnsPool(**stacked)
 
 

@@ -84,9 +84,14 @@ class KSEnvConfig:
 class KSDnsPool(struct.PyTreeNode):
     uu: jax.Array        # (P, T+1, N_dns)
     spline_m: jax.Array  # (P, T+1, N_dns)
-    v0: jax.Array        # (P, N_dns) complex full spectrum after transient
+    v0_re: jax.Array     # (P, N_dns) full spectrum after transient (float pair:
+    v0_im: jax.Array     #   the axon backend cannot transfer complex host arrays)
     ek_ktt: jax.Array    # (P, T+1, g//2)
     nu: jax.Array        # (P,) placeholder (KS nu == 1)
+
+    @property
+    def v0(self):
+        return self.v0_re + 1j * self.v0_im
 
 
 class KSEnvState(struct.PyTreeNode):
@@ -120,7 +125,8 @@ def make_dns_pool(cfg: KSEnvConfig, n_dns: int, key=None, dtype=jnp.float32) -> 
         ek_kt = spectral.energy_spectrum(vv, dx)
         ek_ktt = spectral.cumulative_mean(ek_kt, axis=0)[:, : cfg.grid_size // 2]
         m = interp.periodic_spline_m(uu)
-        return dict(uu=uu, spline_m=m, v0=vv[0], ek_ktt=ek_ktt,
+        return dict(uu=uu, spline_m=m, v0_re=jnp.real(vv[0]),
+                    v0_im=jnp.imag(vv[0]), ek_ktt=ek_ktt,
                     nu=jnp.ones((), dtype))
 
     keys = jax.random.split(key, n_dns)

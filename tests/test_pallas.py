@@ -1,0 +1,77 @@
+"""Pallas kernel validation (interpret mode on CPU; compiled path exercised by
+bench.py on real TPU)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+
+@pytest.fixture(autouse=True)
+def interpret_pallas(monkeypatch):
+    monkeypatch.setattr(pl, "pallas_call",
+                        functools.partial(pl.pallas_call, interpret=True))
+
+
+class TestAbcnKernel:
+    def _inputs(self, B, N, seed=0):
+        rng = np.random.default_rng(seed)
+        u = (rng.standard_normal((B, N)) * 0.1).astype(np.float32)
+        v = np.fft.fft(u, axis=-1)
+        return dict(
+            u=jnp.asarray(u),
+            v_re=jnp.asarray(v.real.astype(np.float32)),
+            v_im=jnp.asarray(v.imag.astype(np.float32)),
+            fn_re=jnp.zeros((B, N), jnp.float32),
+            fn_im=jnp.zeros((B, N), jnp.float32),
+            nu=jnp.full((B, 1), 0.02, jnp.float32),
+            af_re=jnp.asarray((rng.standard_normal((B, N)) * 0.01).astype(np.float32)),
+            af_im=jnp.asarray((rng.standard_normal((B, N)) * 0.01).astype(np.float32)))
+
+    def test_matches_jnp_reference(self):
+        from marlpde_tpu.ops import abcn_pallas
+        B, N = 8, 32
+        args = self._inputs(B, N)
+        kw = dict(n_intermediate=5, dt=1e-3, dx=float(2 * np.pi / N))
+        out_k = abcn_pallas.abcn_macro_step(**args, **kw, tile_b=8)
+        out_r = abcn_pallas.abcn_macro_step_reference(**args, **kw)
+        names = ["u", "v_re", "v_im", "fn_re", "fn_im", "ek"]
+        for i, name in enumerate(names):
+            np.testing.assert_allclose(np.asarray(out_k[i]), np.asarray(out_r[i]),
+                                       atol=2e-6, err_msg=name)
+
+    def test_matches_complex_abcn_solver(self):
+        # the real-arithmetic kernel math reproduces the complex ABCN stepper
+        from marlpde_tpu.ops import abcn_pallas
+        from marlpde_tpu.solvers import burger
+        B, N = 4, 32
+        L = 2 * np.pi
+        args = self._inputs(B, N, seed=3)
+        args["af_re"] = jnp.zeros((B, N), jnp.float32)
+        args["af_im"] = jnp.zeros((B, N), jnp.float32)
+        # the solver seeds fn_old = k1*fft(0.5*u^2) at init (Burger.py:320)
+        u_np = np.asarray(args["u"])
+        k = np.fft.fftfreq(N, 1.0 / N)
+        D = np.fft.fft(0.5 * u_np * u_np, axis=-1)
+        args["fn_re"] = jnp.asarray((-k * D.imag).astype(np.float32))
+        args["fn_im"] = jnp.asarray((k * D.real).astype(np.float32))
+        kw = dict(n_intermediate=4, dt=1e-3, dx=float(L / N))
+        out = abcn_pallas.abcn_macro_step(**args, **kw, tile_b=4)
+        cfg = burger.BurgerConfig(N=N, L=L, dt=1e-3, nu=0.02)
+        st = burger.init(cfg, u0=args["u"])
+        for _ in range(4):
+            st, _ = burger.step(cfg, st)
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(st.u), atol=2e-5)
+
+    def test_multiple_tiles(self):
+        from marlpde_tpu.ops import abcn_pallas
+        B, N = 16, 32
+        args = self._inputs(B, N, seed=7)
+        kw = dict(n_intermediate=3, dt=1e-3, dx=float(2 * np.pi / N))
+        out_tiled = abcn_pallas.abcn_macro_step(**args, **kw, tile_b=4)
+        out_whole = abcn_pallas.abcn_macro_step(**args, **kw, tile_b=16)
+        np.testing.assert_allclose(np.asarray(out_tiled[0]),
+                                   np.asarray(out_whole[0]), atol=1e-6)
