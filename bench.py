@@ -48,10 +48,15 @@ def main():
 
     # run-vracer-burger-marl configuration: N=512 DNS, 32-point LES, 32 agents,
     # spectral reward, episodeLength 500 -> nIntermediate = 10
+    fft_impl = os.environ.get("BENCH_FFT", "dft")   # MXU DFT-matmul path
     env = registry.make_env(
         "burger", N_dns=512, grid_size=32, num_actions=32, num_agents=32,
         dt=0.001, T=5.0, nu=0.02, episode_length=500, ic_case="turbulence",
         spectral_reward=True, noise=0.0, dtype=jnp.float32)
+    if fft_impl != "fft":
+        import dataclasses as _dc
+        cfg2 = _dc.replace(env.cfg, fft_impl=fft_impl)
+        env = registry.make_env("burger", cfg=cfg2, pool=env.consts)
     n_intermediate = env.cfg.n_intermediate
     rl_cfg = trainer.default_rl_config(env, width=128)
     ts = vracer.init_train(rl_cfg, jax.random.key(0))

@@ -13,6 +13,7 @@ The fft axis is always the last one.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -28,6 +29,26 @@ def ifft(v):
 def irfft_real(v):
     """real(ifft(v)) without assuming conjugate symmetry (matches np.real(ifft(v)))."""
     return jnp.real(jnp.fft.ifft(v, axis=-1))
+
+
+def fft_mm(u):
+    """DFT of a real field via matmul (MXU path for small N; see ops/dft.py)."""
+    from marlpde_tpu.ops import dft as _dft
+    re, im = _dft.dft(u)
+    return jax.lax.complex(re, im)
+
+
+def fft_mm_complex(v):
+    """DFT of a complex field via matmul."""
+    from marlpde_tpu.ops import dft as _dft
+    re, im = _dft.dft(jnp.real(v), jnp.imag(v))
+    return jax.lax.complex(re, im)
+
+
+def irfft_real_mm(v):
+    """real(ifft(v)) via matmul for a general complex spectrum."""
+    from marlpde_tpu.ops import dft as _dft
+    return _dft.idft_real(jnp.real(v), jnp.imag(v))
 
 
 def energy_spectrum(v, dx):

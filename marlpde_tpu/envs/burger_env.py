@@ -72,6 +72,9 @@ class BurgerEnvConfig:
     dns_mode: str = "pool"           # 'pool' | 'lockstep' (fresh DNS per episode,
                                      # advanced alongside the LES — the nunoise
                                      # path of burger_environment.py:57-75)
+    state_bound: float = np.inf      # |state| sanity bound; the FD env truncates
+                                     # at 1e6 (burger_fd_environment.py:165)
+    fft_impl: str = "fft"            # LES transform impl: 'fft' | 'dft' (MXU matmul)
 
     @property
     def n_dns_steps(self) -> int:
@@ -93,7 +96,8 @@ class BurgerEnvConfig:
         return burger.BurgerConfig(N=self.grid_size, L=self.L, dt=self.dt, nu=self.nu,
                                    stepper=self.stepper, forcing=self.forcing,
                                    dforce=self.dforce, ssmforce=self.ssmforce,
-                                   ssm=self.ssm, dsm=self.dsm, scheme=self.scheme)
+                                   ssm=self.ssm, dsm=self.dsm, scheme=self.scheme,
+                                   fft_impl=self.fft_impl)
 
     @property
     def obs_dim(self) -> int:
@@ -401,6 +405,8 @@ def step(cfg: BurgerEnvConfig, pool: DnsPool, state: BurgerEnvState,
         new_prev = state.prev_rel_err
 
     obs_ok = jnp.isfinite(sol.u).all()
+    if np.isfinite(cfg.state_bound):
+        obs_ok = obs_ok & (jnp.abs(sol.u).max() <= cfg.state_bound)
     rew_ok = jnp.isfinite(reward).all()
     blown = ~(obs_ok & rew_ok)
     reward = jnp.where(blown, jnp.asarray(cfg.truncation_penalty, dtype), reward)

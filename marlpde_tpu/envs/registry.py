@@ -139,7 +139,8 @@ MAKERS = {
     "burger-lockstep": make_burger_lockstep_env,
     "coupled-burger": make_coupled_burger_env,
     "burger-marl": lambda **kw: make_burger_env(num_agents=kw.pop("num_agents", 32), **kw),
-    "burger-fd": lambda **kw: make_burger_env(scheme="fd", **kw),
+    "burger-fd": lambda **kw: make_burger_env(
+        scheme="fd", state_bound=kw.pop("state_bound", 1e6), **kw),
     "ks": make_ks_env,
     "diffusion-simple": make_diffusion_env,
     "diffusion-error": lambda **kw: make_diffusion_env(mode="error", **kw),

@@ -51,6 +51,17 @@ class BurgerConfig:
     cs: float = 0.1             # static Smagorinsky constant
     filter_state_quirk: bool = False  # replicate Burger.py:369-370 aliasing (see closures.py)
     scheme: str = "abcn"        # 'abcn' | 'fd' | 'rk3' | 'cfd_rk3'
+    fft_impl: str = "fft"       # 'fft' | 'dft': DFT-as-matmul rides the MXU and
+                                # wins for the batched tiny transforms (N <= ~256)
+                                # the LES envs run; numerically identical to fp
+                                # roundoff (tested)
+
+    def _fft(self, u):
+        return (spectral.fft_mm if self.fft_impl == "dft" else spectral.fft)(u)
+
+    def _irfft_real(self, v):
+        return (spectral.irfft_real_mm if self.fft_impl == "dft"
+                else spectral.irfft_real)(v)
 
     def __post_init__(self):
         assert not (self.ssm and self.dsm)
@@ -152,14 +163,14 @@ def total_forcing_spectrum(cfg: BurgerConfig, state: BurgerState,
     F = jnp.zeros_like(state.v)
     if cfg.ssm:
         sgs = closures.ssm_forcing(u, dx, N, cfg.cs)
-        F = F + spectral.fft(sgs)
+        F = F + cfg._fft(sgs)
     if cfg.dsm:
         sgs, v_filtered = closures.dsm_forcing(u, state.v, k, dx, N)
-        F = F + spectral.fft(sgs)
+        F = F + cfg._fft(sgs)
     forcing_phys = zero
     if cfg.forcing:
         forcing_phys = stochastic_forcing(cfg, state)
-        F = spectral.fft(forcing_phys)          # overwrites ssm/dsm (Burger.py:421)
+        F = cfg._fft(forcing_phys)              # overwrites ssm/dsm (Burger.py:421)
 
     if action_field is not None:
         af = action_field
@@ -171,7 +182,7 @@ def total_forcing_spectrum(cfg: BurgerConfig, state: BurgerState,
             nu_ssm = (af * delta) ** 2 * jnp.abs(dudx)
             af = nu_ssm * closures.second_deriv(u, dx)    # Burger.py:452-463
         sgs = af
-        F = F + spectral.fft(af)
+        F = F + cfg._fft(af)
 
     return F, dict(sgs=sgs, forcing_phys=forcing_phys, v_filtered=v_filtered)
 
@@ -190,18 +201,18 @@ def step(cfg: BurgerConfig, state: BurgerState,
         k1 = jnp.asarray(cfg.grid.k1, v.dtype)
         k2 = jnp.asarray(cfg.grid.k2, v.dtype)
         C = -0.5 * k2 * state.nu[..., None] * cfg.dt
-        Fn = k1 * spectral.fft(0.5 * state.u * state.u)
+        Fn = k1 * cfg._fft(0.5 * state.u * state.u)
         v_new = ((1.0 - C) * v - 0.5 * cfg.dt * (3.0 * Fn - state.fn_old) + cfg.dt * F) / (1.0 + C)
-        u_new = spectral.irfft_real(v_new)
+        u_new = cfg._irfft_real(v_new)
         fn_new = Fn
     elif cfg.scheme == "fd":
         # Explicit Euler + centered/one-sided FD (Burger_fd.py:460-468)
         dx = cfg.grid.dx
-        forcing_phys = spectral.irfft_real(F)
+        forcing_phys = cfg._irfft_real(F)
         dudx = closures.first_deriv_onesided(state.u, dx)
         d2udx2 = closures.second_deriv(state.u, dx)
         u_new = state.u + cfg.dt * (state.nu[..., None] * d2udx2 - state.u * dudx + forcing_phys)
-        v_new = spectral.fft(u_new)
+        v_new = cfg._fft(u_new)
         fn_new = state.fn_old
     elif cfg.scheme == "rk3":
         # Spectral SSP-RK3 (Burger_jax.py:42-64); forcing constant over stages
@@ -210,15 +221,15 @@ def step(cfg: BurgerConfig, state: BurgerState,
         nu = state.nu[..., None]
 
         def rhs(u_, v_):
-            return -0.5 * k1 * spectral.fft(u_ * u_) + nu * k2 * v_ + F
+            return -0.5 * k1 * cfg._fft(u_ * u_) + nu * k2 * v_ + F
 
         u0 = state.u
         v1 = v + cfg.dt * rhs(u0, v)
-        u1 = spectral.irfft_real(v1)
+        u1 = cfg._irfft_real(v1)
         v2 = 0.75 * v + 0.25 * v1 + 0.25 * cfg.dt * rhs(u1, v1)
-        u2 = spectral.irfft_real(v2)
+        u2 = cfg._irfft_real(v2)
         v_new = v / 3.0 + 2.0 / 3.0 * v2 + 2.0 / 3.0 * cfg.dt * rhs(u2, v2)
-        u_new = spectral.irfft_real(v_new)
+        u_new = cfg._irfft_real(v_new)
         fn_new = state.fn_old
     elif cfg.scheme == "cfd_rk3":
         # Compact-weighted FD (4th/6th order mix) + SSP-RK3 (Burger_rk.py:236-279)

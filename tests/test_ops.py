@@ -33,3 +33,18 @@ class TestDftMatmul:
         got = dft.idft_real(jnp.asarray(v.real), jnp.asarray(v.imag))
         np.testing.assert_allclose(np.asarray(got),
                                    np.real(np.fft.ifft(v)), atol=1e-12)
+
+
+class TestDftSolverParity:
+    def test_abcn_dft_impl_matches_fft_impl(self):
+        import jax
+        from marlpde_tpu.core import ic
+        from marlpde_tpu.solvers import burger
+        N, L = 32, 2 * np.pi
+        x = jnp.asarray(np.linspace(0, L, N, endpoint=False))
+        u0 = ic.burger_turbulence(5, 0.0, x, L)
+        c1 = burger.BurgerConfig(N=N, L=L, dt=1e-3, nu=0.02, fft_impl="fft")
+        c2 = burger.BurgerConfig(N=N, L=L, dt=1e-3, nu=0.02, fft_impl="dft")
+        _, uu1, _ = burger.simulate(c1, burger.init(c1, u0=u0), 100)
+        _, uu2, _ = burger.simulate(c2, burger.init(c2, u0=u0), 100)
+        np.testing.assert_allclose(np.asarray(uu2), np.asarray(uu1), atol=1e-8)
