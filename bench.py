@@ -71,11 +71,21 @@ def main():
     jax.block_until_ready(obs)
     log("reset done; compiling rollout")
 
+    mode = os.environ.get("BENCH_MODE", "full")   # full | env-only | policy-only
+
     @jax.jit
     def run(pool, ts, state, obs, key):
+        zero_a = jnp.zeros((B, env.num_agents, env.act_dim), jnp.float32)
+
         def macro(carry, k):
             st, ob = carry
-            actions, _, _ = vracer.act(rl_cfg, ts, ob, k)
+            if mode == "policy-only":
+                actions, _, _ = vracer.act(rl_cfg, ts, ob, k)
+                return (st, ob + 1e-6 * actions.sum()), actions.mean()
+            if mode == "env-only":
+                actions = zero_a
+            else:
+                actions, _, _ = vracer.act(rl_cfg, ts, ob, k)
             st, ob2, rew, done, _ = jax.vmap(
                 lambda s, a: env.step(pool, s, a))(st, actions)
             return (st, ob2), rew.mean()
