@@ -70,8 +70,11 @@ def train(env: Env, rl_cfg: Optional[vracer.VracerConfig] = None,
         batch = replay_mod.sample_episodes(rep_, kb, rl_cfg.mini_batch_episodes)
         return vracer.update(rl_cfg, ts_, batch)
 
+    from marlpde_tpu.utils.profiling import Throughput
+    throughput = Throughput()
     history = dict(gen=[], experiences=[], mean_return=[], mean_ep_len=[],
-                   updates=[], metrics=[], test_return=[], wall_time=[])
+                   updates=[], metrics=[], test_return=[], wall_time=[],
+                   env_steps_per_s=[])
     total_exp = 0
     episode_base = 0
     gen = 0
@@ -109,6 +112,8 @@ def train(env: Env, rl_cfg: Optional[vracer.VracerConfig] = None,
         history["updates"].append(n_upd)
         history["metrics"].append({k: float(v) for k, v in metrics.items()})
         history["wall_time"].append(time.time() - t0)
+        throughput.tick(new_exp_per_gen)
+        history["env_steps_per_s"].append(throughput.rate())
 
         if tc.testing_frequency and gen % tc.testing_frequency == 0:
             key, k_t = jax.random.split(key)
