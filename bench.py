@@ -71,7 +71,50 @@ def main():
     jax.block_until_ready(obs)
     log("reset done; compiling rollout")
 
-    mode = os.environ.get("BENCH_MODE", "full")   # full | env-only | policy-only
+    # full | env-only | policy-only | fast (whole-batch jnp) | pallas (fused kernel)
+    mode = os.environ.get("BENCH_MODE", "full")
+
+    if mode in ("fast", "pallas"):
+        from marlpde_tpu.envs import burger_fast
+        use_pallas = mode == "pallas"
+        fstate, fobs = jax.jit(
+            lambda p, ks, cs: burger_fast.reset(env.cfg, p, ks, cs)
+        )(pool, reset_keys, jnp.arange(B))
+        jax.block_until_ready(fobs)
+        log(f"fast reset done (mode={mode}); compiling rollout")
+
+        @jax.jit
+        def run_fast(pool, ts, state, obs, key):
+            def macro(carry, k):
+                st, ob = carry
+                actions, _, _ = vracer.act(rl_cfg, ts, ob, k)
+                st, ob2, rew, done, _ = burger_fast.step(
+                    env.cfg, pool, st, actions, use_pallas=use_pallas)
+                return (st, ob2), rew.mean()
+
+            keys = jax.random.split(key, macro_steps)
+            (st, ob), rews = jax.lax.scan(macro, (state, obs), keys)
+            return st, ob, rews.mean()
+
+        t0 = time.perf_counter()
+        st, ob, r = run_fast(pool, ts, fstate, fobs, jax.random.key(2))
+        jax.block_until_ready(r)
+        log(f"fast rollout compiled+warm in {time.perf_counter()-t0:.0f}s; timing")
+        t0 = time.perf_counter()
+        n_rep = 3
+        for i in range(n_rep):
+            st, ob, r = run_fast(pool, ts, st, ob, jax.random.key(3 + i))
+        jax.block_until_ready(r)
+        dt_ = (time.perf_counter() - t0) / n_rep
+        env_steps = B * macro_steps * n_intermediate
+        print(json.dumps({
+            "metric": "env_steps_per_s_per_chip",
+            "value": round(env_steps / dt_, 1),
+            "unit": "LES-substeps/s (B=%d envs, 32 agents, spectral reward, "
+                    "policy in loop, mode=%s)" % (B, mode),
+            "vs_baseline": round(env_steps / dt_ / 1e6, 3),
+        }))
+        return
 
     @jax.jit
     def run(pool, ts, state, obs, key):

@@ -75,3 +75,39 @@ class TestAbcnKernel:
         out_whole = abcn_pallas.abcn_macro_step(**args, **kw, tile_b=16)
         np.testing.assert_allclose(np.asarray(out_tiled[0]),
                                    np.asarray(out_whole[0]), atol=1e-6)
+
+
+class TestFastEnvParity:
+    def _setup(self):
+        from marlpde_tpu.envs import burger_env, registry
+        cfg = burger_env.BurgerEnvConfig(
+            N_dns=64, grid_size=32, num_actions=32, num_agents=4,
+            dt=0.01, T=0.5, nu=0.05, episode_length=5, ic_case="turbulence",
+            spectral_reward=True, noise=0.0, version=0)
+        pool = burger_env.make_dns_pool(cfg, 1, dtype=jnp.float32)
+        return cfg, pool
+
+    @pytest.mark.parametrize("use_pallas", [False, True])
+    def test_fast_step_matches_general_env(self, use_pallas):
+        from marlpde_tpu.envs import burger_env, burger_fast
+        cfg, pool = self._setup()
+        B = 4
+        keys = jax.random.split(jax.random.key(0), B)
+        counts = jnp.arange(B)
+
+        fstate, fobs = burger_fast.reset(cfg, pool, keys, counts)
+        gstate, gobs = jax.vmap(lambda k, c: burger_env.reset(cfg, pool, k, c))(keys, counts)
+        np.testing.assert_allclose(np.asarray(fobs), np.asarray(gobs), atol=1e-6)
+
+        rngA = np.random.default_rng(1)
+        for i in range(3):
+            a = jnp.asarray(rngA.standard_normal(
+                (B, cfg.num_agents, cfg.actions_per_agent)).astype(np.float32))
+            fstate, fobs, frew, fdone, _ = burger_fast.step(
+                cfg, pool, fstate, a, use_pallas=use_pallas, tile_b=4)
+            gstate, gobs, grew, gdone, _ = jax.vmap(
+                lambda s, aa: burger_env.step(cfg, pool, s, aa))(gstate, a)
+            np.testing.assert_allclose(np.asarray(frew), np.asarray(grew),
+                                       atol=2e-4, err_msg=f"step {i}")
+            np.testing.assert_allclose(np.asarray(fstate.u), np.asarray(gstate.solver.u),
+                                       atol=2e-4, err_msg=f"step {i}")
