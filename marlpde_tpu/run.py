@@ -161,7 +161,15 @@ def main(argv=None):
         if gen % 25 == 0:   # File Output Frequency = 25 (run-vracer-burger.py:199)
             ckpt.save_train_state(result_dir, ts, history)
 
-    ts, rep, history = trainer.train(env, rl_cfg, tc, callback=save_cb)
+    init_ts = init_history = None
+    if args.resume:
+        init_ts = ckpt.load_train_state(result_dir, rl_cfg)
+        init_history = ckpt.load_history(result_dir)
+        if init_ts is not None:
+            print(f"[run] continuing from previous run in {result_dir}")
+
+    ts, rep, history = trainer.train(env, rl_cfg, tc, callback=save_cb,
+                                     init_ts=init_ts, init_history=init_history)
     ckpt.save_train_state(result_dir, ts, history)
     print(json.dumps({"workload": args.workload,
                       "final_mean_return": history["mean_return"][-1],

@@ -47,12 +47,16 @@ def default_rl_config(env: Env, **overrides) -> vracer.VracerConfig:
 
 def train(env: Env, rl_cfg: Optional[vracer.VracerConfig] = None,
           tc: TrainerConfig = TrainerConfig(), verbose: bool = True,
-          callback=None):
-    """Run training; returns (train_state, replay, history dict)."""
+          callback=None, init_ts=None, init_history=None):
+    """Run training; returns (train_state, replay, history dict).
+
+    ``init_ts``/``init_history``: resume from a checkpoint (the korali
+    e.loadState equivalent, run-vracer-burger.py:59-62); experiences counting
+    continues from the restored history."""
     rl_cfg = rl_cfg or default_rl_config(env)
     key = jax.random.key(tc.seed)
     key, k_init = jax.random.split(key)
-    ts = vracer.init_train(rl_cfg, k_init)
+    ts = init_ts if init_ts is not None else vracer.init_train(rl_cfg, k_init)
     rep = replay_mod.init(rl_cfg.replay_capacity_episodes, env.episode_length,
                           env.num_agents, env.obs_dim, env.act_dim)
 
@@ -72,12 +76,14 @@ def train(env: Env, rl_cfg: Optional[vracer.VracerConfig] = None,
 
     from marlpde_tpu.utils.profiling import Throughput
     throughput = Throughput()
-    history = dict(gen=[], experiences=[], mean_return=[], mean_ep_len=[],
-                   updates=[], metrics=[], test_return=[], wall_time=[],
-                   env_steps_per_s=[])
-    total_exp = 0
-    episode_base = 0
-    gen = 0
+    history = init_history if init_history else dict(
+        gen=[], experiences=[], mean_return=[], mean_ep_len=[],
+        updates=[], metrics=[], test_return=[], wall_time=[],
+        env_steps_per_s=[])
+    history.setdefault("env_steps_per_s", [])
+    total_exp = history["experiences"][-1] if history.get("experiences") else 0
+    episode_base = (history["gen"][-1] if history.get("gen") else 0) * tc.num_envs
+    gen = history["gen"][-1] if history.get("gen") else 0
     t0 = time.time()
     T = env.episode_length
     new_exp_per_gen = tc.num_envs * T

@@ -140,3 +140,16 @@ class TestCli:
         # and --test mode loads it back
         cli.main(["diffusion-simple", "--N", "8", "--episodelength", "10",
                   "--numenvs", "4", "--width", "8", "--noise", "0", "--test"])
+
+    def test_resume_continues_from_checkpoint(self, tmp_path, monkeypatch):
+        from marlpde_tpu import run as cli
+        monkeypatch.chdir(tmp_path)
+        base = ["diffusion-simple", "--N", "8", "--episodelength", "10",
+                "--NE", "160", "--numenvs", "4", "--width", "8", "--noise", "0"]
+        cli.main(base)
+        import json
+        h1 = json.load(open(tmp_path / "_result_diffusion-simple_0" / "history.json"))
+        cli.main(base + ["--resume", "--NE", "320"])
+        h2 = json.load(open(tmp_path / "_result_diffusion-simple_0" / "history.json"))
+        assert h2["experiences"][-1] > h1["experiences"][-1]
+        assert h2["gen"][0] == h1["gen"][0]   # history preserved
