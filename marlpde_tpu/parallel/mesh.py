@@ -32,6 +32,25 @@ from marlpde_tpu.rl import replay as replay_mod
 from marlpde_tpu.rl import vracer
 
 
+def initialize_distributed(coordinator: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None):
+    """Multi-host init (idempotent).  On TPU pods jax.distributed discovers
+    topology from the environment; explicit args support manual SLURM-style
+    launches (scripts/submit_jobs.py --tpu-pod).  Safe no-op single-host."""
+    try:
+        if coordinator is not None:
+            jax.distributed.initialize(coordinator_address=coordinator,
+                                       num_processes=num_processes,
+                                       process_id=process_id)
+        elif any(k in __import__("os").environ for k in
+                 ("COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS",
+                  "SLURM_JOB_NUM_NODES")):
+            jax.distributed.initialize()
+    except RuntimeError:
+        pass  # already initialized
+
+
 def make_mesh(devices=None, axis: str = "env") -> Mesh:
     devices = devices if devices is not None else jax.devices()
     return Mesh(np.asarray(devices), (axis,))
