@@ -148,3 +148,24 @@ class TestLearning:
         assert last > first, (first, last)
         # the learned policy should also survive longer
         assert np.mean(hist["mean_ep_len"][-5:]) > np.mean(hist["mean_ep_len"][:5]) * 0.9
+
+    @pytest.mark.slow
+    def test_burger_spectral_closure_learns(self):
+        """VRACER on the flagship Burgers spectral-closure workload: the
+        cumulative-spectrum error must drop substantially from the random
+        policy baseline (observed -0.35 -> -0.06 on this config)."""
+        env = registry.make_env(
+            "burger", N_dns=64, grid_size=16, num_actions=16, num_agents=1,
+            dt=0.01, T=1.0, nu=0.05, episode_length=20, ic_case="turbulence",
+            spectral_reward=True, noise=0.0)
+        rl_cfg = trainer.default_rl_config(
+            env, width=32, lr=1e-3, init_noise=0.5,
+            replay_start_experiences=320, replay_max_experiences=16000,
+            mini_batch_episodes=4)
+        tc = trainer.TrainerConfig(num_envs=16, max_experiences=30000,
+                                   reuse_ratio=64.0, max_updates_per_gen=30,
+                                   seed=3, log_every=1000)
+        ts, rep, hist = trainer.train(env, rl_cfg, tc, verbose=False)
+        first = np.mean(hist["mean_return"][:10])
+        last = np.mean(hist["mean_return"][-10:])
+        assert last > first * 0.6, (first, last)   # >= 40% error reduction
