@@ -71,8 +71,9 @@ def main():
     jax.block_until_ready(obs)
     log("reset done; compiling rollout")
 
-    # full | env-only | policy-only | fast (whole-batch jnp) | pallas (fused kernel)
-    mode = os.environ.get("BENCH_MODE", "full")
+    # pallas (fused VMEM kernel, default) | fast (whole-batch jnp) |
+    # full (general vmapped env) | env-only | policy-only
+    mode = os.environ.get("BENCH_MODE", "pallas")
 
     if mode in ("fast", "pallas"):
         from marlpde_tpu.envs import burger_fast

@@ -10,8 +10,6 @@ testing branch (burger_environment.py:241-329).
 
 from __future__ import annotations
 
-import os
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -16,10 +16,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import struct
 
-from marlpde_tpu.core import spectral
 from marlpde_tpu.envs import burger_env, features
 from marlpde_tpu.ops import abcn_pallas
 

@@ -18,7 +18,6 @@ gathered) — the korali-equivalent 100k-experience buffer becomes
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from marlpde_tpu.core import interp, spectral
+from marlpde_tpu.core import interp
 from marlpde_tpu.solvers import burger, closures
 
 

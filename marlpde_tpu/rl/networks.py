@@ -10,10 +10,7 @@ driver's "Initial Exploration Noise" (run-vracer-burger.py:158).
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
-import jax.numpy as jnp
 import numpy as np
 
 

@@ -30,7 +30,7 @@ import optax
 from flax import struct
 
 from marlpde_tpu.rl import distributions as D
-from marlpde_tpu.rl import networks, replay, running_stats
+from marlpde_tpu.rl import networks, running_stats
 
 
 @dataclasses.dataclass(frozen=True, eq=True)

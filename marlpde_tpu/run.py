@@ -18,7 +18,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import sys
 
 import numpy as np
 
@@ -67,8 +66,6 @@ def build_parser():
 
 def make_workload(args):
     """Build (env, rl_cfg, tc) from CLI args; defaults follow the drivers."""
-    import jax.numpy as jnp
-
     from marlpde_tpu.envs import registry
     from marlpde_tpu.train import trainer
 
