@@ -209,20 +209,25 @@ def _make_dns_pool_host(cfg: BurgerEnvConfig, n_dns: int, key, dtype) -> DnsPool
     x = np.linspace(0, L, N, endpoint=False)
     nsteps = cfg.n_dns_steps
     rows = []
-    keys = jax.random.split(key, n_dns)
+    del key  # the host build is fully device-free (the axon tunnel penalizes
+    # readbacks mid-build); tables/nu come from numpy Philox seeded by (seed, i)
     for i in range(n_dns):
-        kf, kn, kic = jax.random.split(keys[i], 3)
-        rf1j, rf2j = burger.draw_forcing_tables(kf, cfg.stepper, jnp.float32)
-        rf1 = np.asarray(rf1j, np.float64)
-        rf2 = np.asarray(rf2j, np.float64)
+        hrng = np.random.default_rng([cfg.seed, i])
+        rf1 = hrng.standard_normal((4, cfg.stepper))
+        rf2 = hrng.standard_normal((4, cfg.stepper))
         nu = cfg.nu
         if cfg.nunoise:
-            nu = 0.01 + 0.02 * float(jax.random.uniform(kn))
+            nu = 0.01 + 0.02 * float(hrng.uniform())
         if cfg.ic_case == "turbulence":
             u0 = ic.burger_turbulence_numpy(cfg.seed + i, 0.0, x, L)
+        elif cfg.ic_case == "sinus":
+            u0 = np.sin(4.0 * np.pi * x / L)
+        elif cfg.ic_case == "zero":
+            u0 = np.zeros(N)
+        elif cfg.ic_case == "forced":
+            u0 = ic.burger_forced_numpy(cfg.seed + i, x, L)
         else:
-            u0 = np.asarray(_dns_ic(cfg, cfg.seed + i, kic, jnp.float32),
-                            np.float64)
+            raise ValueError(f"[burger_env] unknown ic {cfg.ic_case}")
         uu = np.empty((nsteps + 1, N))
         vv = np.empty((nsteps + 1, N), complex)
         u = u0.copy()
