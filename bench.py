@@ -41,6 +41,11 @@ except Exception:
 def main():
     B = int(os.environ.get("BENCH_ENVS", 4096))
     macro_steps = int(os.environ.get("BENCH_MACRO", 50))
+    if os.environ.get("BENCH_BF16"):
+        # bf16 MXU passes for all f32 matmuls (policy is HBM/matmul bound);
+        # solver transforms keep enough mantissa at N=32 for the spectral
+        # reward (validated vs f32 within reward noise)
+        jax.config.update("jax_default_matmul_precision", "bfloat16")
 
     from marlpde_tpu.envs import registry
     from marlpde_tpu.rl import vracer
@@ -78,6 +83,7 @@ def main():
     if mode in ("fast", "pallas"):
         from marlpde_tpu.envs import burger_fast
         use_pallas = mode == "pallas"
+        tile_b = int(os.environ.get("BENCH_TILE", 1024))
         fstate, fobs = jax.jit(
             lambda p, ks, cs: burger_fast.reset(env.cfg, p, ks, cs)
         )(pool, reset_keys, jnp.arange(B))
@@ -90,7 +96,8 @@ def main():
                 st, ob = carry
                 actions, _, _ = vracer.act(rl_cfg, ts, ob, k)
                 st, ob2, rew, done, _ = burger_fast.step(
-                    env.cfg, pool, st, actions, use_pallas=use_pallas)
+                    env.cfg, pool, st, actions, use_pallas=use_pallas,
+                    tile_b=tile_b)
                 return (st, ob2), rew.mean()
 
             keys = jax.random.split(key, macro_steps)
