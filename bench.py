@@ -76,9 +76,10 @@ def main():
     jax.block_until_ready(obs)
     log("reset done; compiling rollout")
 
-    # pallas (fused VMEM kernel, default) | fast (whole-batch jnp) |
-    # full (general vmapped env) | env-only | policy-only
-    mode = os.environ.get("BENCH_MODE", "pallas")
+    # fast (whole-batch jnp, default — equals the fused-pallas speed at these
+    # sizes without remote-kernel-compile risk) | pallas | full (general
+    # vmapped env) | env-only | policy-only
+    mode = os.environ.get("BENCH_MODE", "fast")
 
     if mode in ("fast", "pallas"):
         from marlpde_tpu.envs import burger_fast
@@ -106,14 +107,17 @@ def main():
 
         t0 = time.perf_counter()
         st, ob, r = run_fast(pool, ts, fstate, fobs, jax.random.key(2))
-        jax.block_until_ready(r)
+        jax.block_until_ready((st, ob, r))
         log(f"fast rollout compiled+warm in {time.perf_counter()-t0:.0f}s; timing")
-        t0 = time.perf_counter()
-        n_rep = 3
-        for i in range(n_rep):
+        times = []
+        for i in range(5):
+            t0 = time.perf_counter()
             st, ob, r = run_fast(pool, ts, st, ob, jax.random.key(3 + i))
-        jax.block_until_ready(r)
-        dt_ = (time.perf_counter() - t0) / n_rep
+            jax.block_until_ready((st, ob, r))
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        dt_ = times[len(times) // 2]
+        log(f"per-run times: {['%.1fms' % (t*1e3) for t in times]}")
         env_steps = B * macro_steps * n_intermediate
         print(json.dumps({
             "metric": "env_steps_per_s_per_chip",
@@ -148,15 +152,18 @@ def main():
     # compile + warmup
     t0 = time.perf_counter()
     st, ob, r = run(pool, ts, state, obs, jax.random.key(2))
-    jax.block_until_ready(r)
+    jax.block_until_ready((st, ob, r))
     log(f"rollout compiled+warm in {time.perf_counter()-t0:.0f}s; timing")
 
-    t0 = time.perf_counter()
-    n_rep = 3
-    for i in range(n_rep):
+    times = []
+    for i in range(5):
+        t0 = time.perf_counter()
         st, ob, r = run(pool, ts, st, ob, jax.random.key(3 + i))
-    jax.block_until_ready(r)
-    dt = (time.perf_counter() - t0) / n_rep
+        jax.block_until_ready((st, ob, r))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    dt = times[len(times) // 2]
+    log(f"per-run times: {['%.1fms' % (t*1e3) for t in times]}")
 
     env_steps = B * macro_steps * n_intermediate
     steps_per_s = env_steps / dt
