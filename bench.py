@@ -107,17 +107,20 @@ def main():
 
         t0 = time.perf_counter()
         st, ob, r = run_fast(pool, ts, fstate, fobs, jax.random.key(2))
-        jax.block_until_ready((st, ob, r))
+        _ = float(r)   # D2H readback: the only reliable barrier on this backend
         log(f"fast rollout compiled+warm in {time.perf_counter()-t0:.0f}s; timing")
         times = []
+        rs = []
         for i in range(5):
             t0 = time.perf_counter()
             st, ob, r = run_fast(pool, ts, st, ob, jax.random.key(3 + i))
-            jax.block_until_ready((st, ob, r))
+            rs.append(float(r))   # forces completion (block_until_ready does not)
             times.append(time.perf_counter() - t0)
         times.sort()
         dt_ = times[len(times) // 2]
-        log(f"per-run times: {['%.1fms' % (t*1e3) for t in times]}")
+        log(f"per-run times: {['%.1fms' % (t*1e3) for t in times]} "
+            f"r={rs[-1]:.6f} done_frac={float(st.done.mean()):.3f} "
+            f"max|u|={float(jnp.abs(st.u).max()):.3f}")
         env_steps = B * macro_steps * n_intermediate
         print(json.dumps({
             "metric": "env_steps_per_s_per_chip",
@@ -152,14 +155,14 @@ def main():
     # compile + warmup
     t0 = time.perf_counter()
     st, ob, r = run(pool, ts, state, obs, jax.random.key(2))
-    jax.block_until_ready((st, ob, r))
+    _ = float(r)   # D2H readback barrier (block_until_ready is unreliable here)
     log(f"rollout compiled+warm in {time.perf_counter()-t0:.0f}s; timing")
 
     times = []
     for i in range(5):
         t0 = time.perf_counter()
         st, ob, r = run(pool, ts, st, ob, jax.random.key(3 + i))
-        jax.block_until_ready((st, ob, r))
+        _ = float(r)
         times.append(time.perf_counter() - t0)
     times.sort()
     dt = times[len(times) // 2]
