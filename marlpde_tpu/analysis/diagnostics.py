@@ -87,6 +87,13 @@ def compute_sgs_ks(uu, k, dx, n_urg):
     return -uh * duhdx + 0.5 * du2hdx
 
 
+def sgs_correlation(sgs_true, sgs_model):
+    """Pearson correlation of SGS terms (other/correlation.py:16): scalar in [-1,1]."""
+    a = np.asarray(sgs_true).ravel()
+    b = np.asarray(sgs_model).ravel()
+    return float(np.corrcoef(a, b)[0, 1])
+
+
 def error_curves(uu, solution, tt):
     """mse/linf/mass curves in the error_*.json schema
     (diffusion_errors/plotErrors.py:40-48)."""

@@ -219,6 +219,19 @@ def head_only_mask(params):
         params)
 
 
+def apriori_eval(model: "ClosureModel", u_bar, pi_true):
+    """A-priori evaluation (Turbulence_predict_prior.py): predict PI from
+    filtered fields and score against the true SGS term.
+
+    Returns dict(mse, correlation)."""
+    import numpy as _np
+    pred = _np.asarray(model.predict(jnp.asarray(u_bar)))
+    true = _np.asarray(pi_true)
+    mse = float(_np.mean((pred - true) ** 2))
+    corr = float(_np.corrcoef(pred.ravel(), true.ravel())[0, 1])
+    return dict(mse=mse, correlation=corr)
+
+
 # ------------------------------------------------------------- a-posteriori LES
 
 def aposteriori_rollout(model: ClosureModel, cfg: DdpConfig, u_init, u_prev,

@@ -134,8 +134,28 @@ def make_workload(args):
     return env, rl_cfg, tc
 
 
+def run_cmaes(args):
+    """run-cmaes-burger.py equivalent: CMA-ES over the Smagorinsky constant."""
+    from marlpde_tpu.rl import cmaes
+
+    f = cmaes.make_burger_cs_objective(
+        N_dns=args.NDNS, grid_size=args.N or 32, dt=args.dt or 1e-3,
+        T=args.T or 5.0, nu=args.nu or 0.02,
+        episode_length=args.episodelength, ic_case=args.ic or "turbulence",
+        seed=args.seed)
+    cfg = cmaes.CmaesConfig(dim=1, population=8, lower=0.0, upper=1.0,
+                            max_generations=int(args.NE) if args.NE < 1000 else 50,
+                            seed=args.seed)
+    best_x, best_cost, hist = cmaes.cmaes_minimize(f, cfg)
+    print(json.dumps({"workload": "cmaes-burger", "best_cs": float(best_x[0]),
+                      "best_objective": -best_cost,
+                      "generations": len(hist)}))
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.workload == "cmaes-burger":
+        return run_cmaes(args)
     from marlpde_tpu.train import trainer
     from marlpde_tpu.utils import checkpoint as ckpt
 

@@ -126,3 +126,34 @@ class TestEvaluation:
         assert (tmp_path / "relError_7.npy").exists()
         assert (tmp_path / "dnsSgsTerms_7.npy").exists()
         assert np.isfinite(out["relError"]).all()
+
+
+class TestCmaesCli:
+    def test_cmaes_burger_cli(self, capsys):
+        from marlpde_tpu import run as cli
+        cli.main(["cmaes-burger", "--NDNS", "64", "--N", "16",
+                  "--dt", "0.01", "--T", "0.1", "--nu", "0.05",
+                  "--episodelength", "5", "--NE", "3", "--ic", "turbulence"])
+        import json
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert 0.0 <= out["best_cs"] <= 1.0
+        assert np.isfinite(out["best_objective"])
+
+
+class TestDiagnosticsExtras:
+    def test_sgs_correlation(self, rng):
+        from marlpde_tpu.analysis import diagnostics
+        a = rng.standard_normal(100)
+        assert diagnostics.sgs_correlation(a, a) == pytest.approx(1.0)
+        assert abs(diagnostics.sgs_correlation(a, rng.standard_normal(100))) < 0.5
+
+    def test_ddp_apriori_eval(self, rng):
+        from marlpde_tpu.ddp import pipeline
+        x = rng.standard_normal((64, 8)).astype(np.float32)
+        net = pipeline.ClosureNet(n_out=8, width=8, n_hidden=1)
+        m = pipeline.train_closure(jnp.asarray(x), jnp.asarray(0.3 * x),
+                                   jax.random.key(0), epochs=80, batch_size=32,
+                                   net=net)
+        out = pipeline.apriori_eval(m, x, 0.3 * x)
+        assert out["correlation"] > 0.7
+        assert out["mse"] < 0.05
