@@ -61,6 +61,9 @@ def build_parser():
     # trainer flags
     p.add_argument("--numenvs", type=int, default=16, help="episodes per generation")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--serialize-replay", action="store_true",
+                   help="save the replay buffer with checkpoints "
+                        "(korali Experience Replay Serialize)")
     return p
 
 
@@ -188,6 +191,8 @@ def main(argv=None):
     ts, rep, history = trainer.train(env, rl_cfg, tc, callback=save_cb,
                                      init_ts=init_ts, init_history=init_history)
     ckpt.save_train_state(result_dir, ts, history)
+    if args.serialize_replay:
+        ckpt.save_replay(result_dir, rep)
     print(json.dumps({"workload": args.workload,
                       "final_mean_return": history["mean_return"][-1],
                       "generations": history["gen"][-1]}))

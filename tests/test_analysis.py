@@ -153,3 +153,11 @@ class TestCli:
         h2 = json.load(open(tmp_path / "_result_diffusion-simple_0" / "history.json"))
         assert h2["experiences"][-1] > h1["experiences"][-1]
         assert h2["gen"][0] == h1["gen"][0]   # history preserved
+
+    def test_serialize_replay_flag(self, tmp_path, monkeypatch):
+        from marlpde_tpu import run as cli
+        monkeypatch.chdir(tmp_path)
+        cli.main(["diffusion-simple", "--N", "8", "--episodelength", "10",
+                  "--NE", "160", "--numenvs", "4", "--width", "8",
+                  "--noise", "0", "--serialize-replay"])
+        assert (tmp_path / "_result_diffusion-simple_0" / "replay.npz").exists()
