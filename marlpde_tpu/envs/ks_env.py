@@ -73,8 +73,11 @@ class KSEnvConfig:
 
     @property
     def obs_dim(self) -> int:
-        # KS.getState: concat(dudx, d2udx2) over the full grid (KS.py:369-383)
-        return 2 * self.grid_size
+        # KS.getState: concat(dudx, d2udx2) over the full grid (KS.py:369-383);
+        # MARL extension: per-agent halo slices of both features
+        if self.num_agents == 1:
+            return 2 * self.grid_size
+        return 2 * (self.grid_size // self.num_agents + 2)
 
     @property
     def actions_per_agent(self) -> int:

@@ -315,3 +315,28 @@ class TestLockstepDns:
         traj, final = rollout.zero_action_episode(env, jax.random.key(0))
         r = np.asarray(traj["rewards"][0, :, 0])
         assert np.isfinite(r).all() and (r <= 0).all()
+
+
+class TestKsEnv:
+    def test_zero_action_episode_and_obs(self):
+        from marlpde_tpu.envs import ks_env
+        cfg = ks_env.KSEnvConfig(
+            N_dns=128, grid_size=32, num_actions=32, t_transient=5.0,
+            t_end=10.0, episode_length=5, noise=0.0)
+        env = registry.make_env("ks", cfg=cfg, dtype=jnp.float64)
+        traj, final = rollout.zero_action_episode(env, jax.random.key(0))
+        r = np.asarray(traj["rewards"][0, :, 0])
+        assert np.isfinite(r).all()
+        assert traj["obs"].shape == (1, 5, 1, 64)
+        # first reward = -err_1 <= 0 (spectral decrement from prev=0)
+        assert r[0] <= 0
+
+    def test_ks_marl_obs_shape(self):
+        from marlpde_tpu.envs import ks_env
+        cfg = ks_env.KSEnvConfig(
+            N_dns=128, grid_size=32, num_actions=32, num_agents=4,
+            t_transient=5.0, t_end=10.0, episode_length=5, noise=0.0)
+        env = registry.make_env("ks", cfg=cfg, dtype=jnp.float64)
+        st, obs = env.reset0(jax.random.key(0), 0)
+        assert obs.shape == (4, cfg.obs_dim)
+        assert cfg.obs_dim == 2 * (32 // 4 + 2)
