@@ -81,6 +81,24 @@ def main():
     # vmapped env) | env-only | policy-only
     mode = os.environ.get("BENCH_MODE", "fast")
 
+    # policy implementation: 'xla' | 'pallas' (fused VMEM-resident MLP kernel)
+    policy_impl = os.environ.get("BENCH_POLICY", "xla")
+
+    def act_fn(ts_, ob, k):
+        if policy_impl != "pallas":
+            return vracer.act(rl_cfg, ts_, ob, k)
+        from marlpde_tpu.ops import mlp_pallas
+        from marlpde_tpu.rl import distributions as D
+        from marlpde_tpu.rl import running_stats
+        x = running_stats.normalize(ts_.obs_stats, ob)
+        flat = x.reshape(-1, rl_cfg.obs_dim)
+        _, mu, sigma = mlp_pallas.mlp_forward(
+            flat, ts_.params, init_noise=rl_cfg.init_noise)
+        mu = mu.reshape(ob.shape[:-1] + (rl_cfg.act_dim,))
+        sigma = sigma.reshape(ob.shape[:-1] + (rl_cfg.act_dim,))
+        a = D.sample(k, mu, sigma, rl_cfg.action_low, rl_cfg.action_high)
+        return a, mu, sigma
+
     if mode in ("fast", "pallas"):
         from marlpde_tpu.envs import burger_fast
         use_pallas = mode == "pallas"
@@ -95,7 +113,7 @@ def main():
         def run_fast(pool, ts, state, obs, key):
             def macro(carry, k):
                 st, ob = carry
-                actions, _, _ = vracer.act(rl_cfg, ts, ob, k)
+                actions, _, _ = act_fn(ts, ob, k)
                 st, ob2, rew, done, _ = burger_fast.step(
                     env.cfg, pool, st, actions, use_pallas=use_pallas,
                     tile_b=tile_b)

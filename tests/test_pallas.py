@@ -111,3 +111,30 @@ class TestFastEnvParity:
                                        atol=2e-4, err_msg=f"step {i}")
             np.testing.assert_allclose(np.asarray(fstate.u), np.asarray(gstate.solver.u),
                                        atol=2e-4, err_msg=f"step {i}")
+
+
+class TestMlpKernel:
+    def test_matches_flax_forward(self, rng):
+        from marlpde_tpu.ops import mlp_pallas
+        from marlpde_tpu.rl import networks
+        net = networks.VracerNet(act_dim=2, width=32, n_hidden=2, init_noise=0.3)
+        obs = jnp.asarray(rng.standard_normal((100, 5)).astype(np.float32))
+        params = net.init(jax.random.key(0), obs[:1])
+        v_ref, mu_ref, sig_ref = net.apply(params, obs)
+        v, mu, sig = mlp_pallas.mlp_forward(obs, params, init_noise=0.3,
+                                            tile_r=64)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(sig), np.asarray(sig_ref), atol=2e-5)
+
+    def test_row_padding(self, rng):
+        from marlpde_tpu.ops import mlp_pallas
+        from marlpde_tpu.rl import networks
+        net = networks.VracerNet(act_dim=1, width=16, n_hidden=2, init_noise=0.1)
+        obs = jnp.asarray(rng.standard_normal((37, 3)).astype(np.float32))
+        params = net.init(jax.random.key(1), obs[:1])
+        v_ref, mu_ref, sig_ref = net.apply(params, obs)
+        v, mu, sig = mlp_pallas.mlp_forward(obs, params, init_noise=0.1,
+                                            tile_r=32)
+        assert v.shape == (37,)
+        np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref), atol=2e-5)
