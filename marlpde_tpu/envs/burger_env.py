@@ -226,6 +226,15 @@ def _make_dns_pool_host(cfg: BurgerEnvConfig, n_dns: int, key, dtype) -> DnsPool
             u0 = np.zeros(N)
         elif cfg.ic_case == "forced":
             u0 = ic.burger_forced_numpy(cfg.seed + i, x, L)
+        elif cfg.ic_case == "box":
+            # Burger_jax.py:215-216 (enabled there; Burger.py:218 disables it
+            # with `assert False` — documented reference quirk)
+            u0 = (np.abs(x - L / 2) < L / 8).astype(float)
+        elif cfg.ic_case == "gaussian":
+            # Burger_jax.py:15-16,208-213: normalized pdf, mean L/2, sigma L/8
+            sigma = L / 8
+            u0 = (np.exp(-0.5 * ((x - 0.5 * L) / sigma) ** 2)
+                  / np.sqrt(2 * np.pi * sigma ** 2))
         else:
             raise ValueError(f"[burger_env] unknown ic {cfg.ic_case}")
         uu = np.empty((nsteps + 1, N))

@@ -11,6 +11,10 @@ Driver map (reference -> preset name):
   run-vracer-diffusion-error.py   -> 'diffusion-error'
   run-vracer-advection-simple.py  -> 'advection-simple'
   run-vracer-laplace.py           -> 'laplace'
+  run-vracer-coupled-burger.py    -> 'coupled-burger'
+  run-vracer-burger-jax.py        -> 'burger-jax'  (differentiable RK3 scheme;
+                                      whole-episode Jacobians in solvers/burger_grad.py)
+  run-cmaes-burger.py             -> 'cmaes-burger' (handled by run.py/run_cmaes)
 """
 
 from __future__ import annotations
@@ -134,8 +138,22 @@ def make_coupled_burger_env(**kw) -> Env:
                                action_low=-1.0, action_high=1.0)
 
 
+def make_burger_jax_env(**kw) -> Env:
+    """Differentiable-Burgers closure env (run-vracer-burger-jax.py).
+
+    Reference: RK3 stepper with jacfwd Jacobians (Burger_jax.py:42-66), state
+    = d2udx2 (Burger_jax.py:499-508, i.e. version 0), actions in [-5, 5]
+    (run-vracer-burger-jax.py:91-93).  Here the whole env is differentiable
+    under jax.grad; explicit per-step Jacobian parity lives in
+    solvers/burger_grad.py.
+    """
+    env = make_burger_env(scheme="rk3", version=kw.pop("version", 0), **kw)
+    return dataclasses.replace(env, name="burger-jax")
+
+
 MAKERS = {
     "burger": make_burger_env,
+    "burger-jax": make_burger_jax_env,
     "burger-lockstep": make_burger_lockstep_env,
     "coupled-burger": make_coupled_burger_env,
     "burger-marl": lambda **kw: make_burger_env(num_agents=kw.pop("num_agents", 32), **kw),

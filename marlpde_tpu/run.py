@@ -74,7 +74,7 @@ def make_workload(args):
 
     w = args.workload
     kw = {}
-    if w in ("burger", "burger-marl", "burger-fd"):
+    if w in ("burger", "burger-marl", "burger-fd", "burger-jax"):
         defaults = dict(N=32, NA=32, dt=1e-3, T=5.0, nu=0.02, ic="sinus",
                         gamma=1.0, iex=args.iex)
         if w == "burger-fd":
@@ -94,9 +94,21 @@ def make_workload(args):
         if w == "burger-fd":
             kw["scheme"] = "fd"
             w = "burger"
-        elif kw["num_agents"] > 1:
+        elif kw["num_agents"] > 1 and w != "burger-jax":
             w = "burger"
         env = registry.make_env(w, n_dns=args.ndns, **kw)
+        gamma = args.gamma if args.gamma is not None else 1.0
+    elif w == "coupled-burger":
+        # run-vracer-coupled-burger.py:5-15 + coupled_burger_environment.py:7-11:
+        # DNS N=512, nu=0.01, dt=1e-3, tEnd=5, ic='box', 1 action, reward
+        # relative to an uncontrolled lock-step baseline, actions in [-1, 1].
+        env = registry.make_env(
+            "coupled-burger", n_dns=args.ndns,
+            N_dns=args.NDNS, grid_size=args.N or 32,
+            num_actions=args.NA or 1, num_agents=args.nagents or 1,
+            L=args.L, dt=args.dt or 1e-3, T=args.T or 5.0,
+            nu=args.nu or 0.01, episode_length=args.episodelength,
+            ic_case=args.ic or "box", noise=args.noise, seed=args.seed)
         gamma = args.gamma if args.gamma is not None else 1.0
     elif w == "ks":
         env = registry.make_env(
