@@ -45,6 +45,78 @@ def plot_error(x, err, fname="error.png"):
     plt.close(fig)
 
 
+def make_movie_field(x_list, uu_list, tt, fname="evolution.gif",
+                     num_frames=100, ylim=(-1.0, 2.75), fps=20):
+    """Field-evolution movie (makeMovieField, plotting.py:35-67).
+
+    Overlays several trajectories per frame.  Data-array API: ``x_list[i]`` is
+    model i's grid, ``uu_list[i]`` its (T+1, N) trajectory; ``tt`` the shared
+    time vector.  Writes an animated GIF (reference assembles per-frame PNGs
+    with imageio; here one matplotlib animation).
+    """
+    from matplotlib import animation
+    plt = _plt()
+    colors = ["royalblue", "coral"]          # plotting.py:38-39
+    alphas = [1.0, 0.8]
+    tt = np.asarray(tt)
+    num_frames = min(num_frames, len(tt))
+    fidx = np.linspace(0, len(tt) - 1, num_frames).astype(int)
+
+    fig, ax = plt.subplots()
+    lines = [ax.plot([], [], "-", color=colors[i % 2], alpha=alphas[i % 2])[0]
+             for i in range(len(uu_list))]
+    ax.set_xlim(min(np.min(x) for x in x_list), max(np.max(x) for x in x_list))
+    ax.set_ylim(*ylim)                        # plotting.py:55
+    txt = ax.text(0.75, 0.9, "", transform=ax.transAxes, fontsize=12)
+
+    def draw(j):
+        t = tt[fidx[j]]
+        for ln, x, uu in zip(lines, x_list, uu_list):
+            ln.set_data(np.asarray(x), np.asarray(uu)[fidx[j]])
+        txt.set_text(f"t={t:.2f}")
+        return lines + [txt]
+
+    ani = animation.FuncAnimation(fig, draw, frames=num_frames, blit=True)
+    ani.save(fname, writer=animation.PillowWriter(fps=fps))
+    plt.close(fig)
+    return fname
+
+
+def make_movie_spectrum(k_list, ek_ktt_list, tt, fname="evolution_spectrum.gif",
+                        num_frames=100, ylim=(1e-7, 1.0), fps=20):
+    """Spectrum-evolution movie (makeMovieSpectrum, plotting.py:69-104):
+    log-log E(k) up to the coarsest model's Nyquist, one frame per time."""
+    from matplotlib import animation
+    plt = _plt()
+    colors = ["royalblue", "coral"]
+    alphas = [1.0, 0.8]
+    tt = np.asarray(tt)
+    num_frames = min(num_frames, len(tt))
+    fidx = np.linspace(0, len(tt) - 1, num_frames).astype(int)
+    half = min(np.asarray(ek).shape[-1] for ek in ek_ktt_list) // 2  # :80,88
+
+    fig, ax = plt.subplots()
+    lines = [ax.plot([], [], "-", color=colors[i % 2], alpha=alphas[i % 2])[0]
+             for i in range(len(ek_ktt_list))]
+    ax.set_xscale("log")
+    ax.set_yscale("log")
+    ax.set_xlim(1, max(half, 2))
+    ax.set_ylim(*ylim)                        # plotting.py:94
+    txt = ax.text(0.75, 0.9, "", transform=ax.transAxes, fontsize=12)
+
+    def draw(j):
+        for ln, k, ek in zip(lines, k_list, ek_ktt_list):
+            kk = np.abs(np.asarray(k)[1:half])
+            ln.set_data(kk, np.asarray(ek)[fidx[j], 1:half])
+        txt.set_text(f"t={tt[fidx[j]]:.2f}")
+        return lines + [txt]
+
+    ani = animation.FuncAnimation(fig, draw, frames=num_frames, blit=True)
+    ani.save(fname, writer=animation.PillowWriter(fps=fps))
+    plt.close(fig)
+    return fname
+
+
 def plot_avg_spectrum(ek_ktt_list, labels, fname="spectrum.png"):
     plt = _plt()
     fig, ax = plt.subplots()

@@ -85,3 +85,35 @@ class TestPlotting:
         assert "best_return" in out
         rlview.main(["--dir", str(d), "--out", str(tmp_path / "rv.png")])
         _check_png(tmp_path / "rv.png")
+
+
+class TestMovies:
+    """makeMovieField / makeMovieSpectrum equivalents (plotting.py:35-104)."""
+
+    def test_make_movie_field(self, tmp_path):
+        from marlpde_tpu.analysis import plotting
+        x1 = np.linspace(0, 2 * np.pi, 32, endpoint=False)
+        x2 = np.linspace(0, 2 * np.pi, 16, endpoint=False)
+        tt = np.linspace(0, 1, 11)
+        uu1 = np.sin(x1)[None] * np.cos(tt)[:, None]
+        uu2 = np.sin(x2)[None] * np.cos(tt)[:, None]
+        f = plotting.make_movie_field([x1, x2], [uu1, uu2], tt,
+                                      fname=str(tmp_path / "evo.gif"),
+                                      num_frames=4)
+        with open(f, "rb") as fh:
+            assert fh.read(6) in (b"GIF87a", b"GIF89a")
+
+    def test_make_movie_spectrum(self, tmp_path):
+        from marlpde_tpu.analysis import plotting
+        N1, N2, T = 32, 16, 6
+        k1 = np.fft.fftfreq(N1, 1.0 / N1)
+        k2 = np.fft.fftfreq(N2, 1.0 / N2)
+        rng = np.random.default_rng(0)
+        ek1 = rng.uniform(1e-6, 0.5, (T, N1))
+        ek2 = rng.uniform(1e-6, 0.5, (T, N2))
+        f = plotting.make_movie_spectrum([k1, k2], [ek1, ek2],
+                                         np.linspace(0, 1, T),
+                                         fname=str(tmp_path / "spec.gif"),
+                                         num_frames=3)
+        with open(f, "rb") as fh:
+            assert fh.read(6) in (b"GIF87a", b"GIF89a")
