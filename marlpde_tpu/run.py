@@ -54,6 +54,11 @@ def build_parser():
     p.add_argument("--nagents", "--numAgents", dest="nagents", type=int, default=None)
     p.add_argument("--test", action="store_true")
     # learner flags
+    p.add_argument("--learner", type=str, default="vracer",
+                   choices=["vracer", "apg"],
+                   help="apg = analytic policy gradient through the "
+                        "differentiable rollout (gradient-aware RL; "
+                        "use with burger-jax)")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--gamma", type=float, default=None)
     p.add_argument("--mar", type=str, default="individual",
@@ -177,6 +182,21 @@ def main(argv=None):
     env, rl_cfg, tc = make_workload(args)
     result_dir = f"_result_{args.workload}_{args.run}"
     os.makedirs(result_dir, exist_ok=True)
+
+    if args.learner == "apg" and not args.test:
+        import jax
+        from marlpde_tpu.rl import apg
+        iters = max(1, int(args.NE // (args.numenvs * env.episode_length)))
+        ts, history = apg.train_apg(
+            env, rl_cfg,
+            apg.ApgConfig(iterations=iters, batch_size=args.numenvs,
+                          lr=args.lr if args.lr != 1e-4 else 1e-3),
+            key=jax.random.key(args.seed))
+        ckpt.save_train_state(result_dir, ts, history)
+        print(json.dumps({"workload": args.workload, "learner": "apg",
+                          "final_mean_return": history["mean_return"][-1],
+                          "iterations": history["iter"][-1] + 1}))
+        return
 
     if args.test:
         import jax
