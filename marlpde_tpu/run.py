@@ -16,6 +16,7 @@ Examples:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 
@@ -69,6 +70,9 @@ def build_parser():
     p.add_argument("--serialize-replay", action="store_true",
                    help="save the replay buffer with checkpoints "
                         "(korali Experience Replay Serialize)")
+    p.add_argument("--save-episodes", action="store_true",
+                   help='dump training episodes to <result>/episodes/ '
+                        '(s["Custom Settings"]["Save Episode"])')
     return p
 
 
@@ -151,6 +155,9 @@ def make_workload(args):
         replay_max_experiences=100000 * args.episodelength // 500)
     tc = trainer.TrainerConfig(num_envs=args.numenvs, max_experiences=args.NE,
                                seed=args.seed)
+    if args.save_episodes:
+        tc = dataclasses.replace(
+            tc, save_episodes_dir=f"_result_{args.workload}_{args.run}/episodes")
     return env, rl_cfg, tc
 
 

@@ -13,6 +13,7 @@ updates/generation = new_experiences * reuse_ratio / (K*T).
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Optional
 
@@ -35,6 +36,11 @@ class TrainerConfig:
     log_every: int = 1
     testing_frequency: int = 0         # generations between deterministic evals (0 = off)
     testing_episodes: int = 8
+    # s["Custom Settings"]["Save Episode"] equivalent (run-vracer-burger.py:120,
+    # burger_environment.py:207-238): dump collected episodes whose cumulative
+    # reward clears a threshold (burger_fd_environment.py:211 saves > -1.0).
+    save_episodes_dir: Optional[str] = None
+    save_episodes_threshold: float = -np.inf
 
 
 def default_rl_config(env: Env, **overrides) -> vracer.VracerConfig:
@@ -120,6 +126,19 @@ def train(env: Env, rl_cfg: Optional[vracer.VracerConfig] = None,
         history["wall_time"].append(time.time() - t0)
         throughput.tick(new_exp_per_gen)
         history["env_steps_per_s"].append(throughput.rate())
+
+        if tc.save_episodes_dir:
+            # cum_reward is (B,) for single-return envs, (B, na) for MARL
+            cum = np.asarray(final.cum_reward).reshape(tc.num_envs, -1).mean(-1)
+            keep = cum > tc.save_episodes_threshold
+            if keep.any():
+                os.makedirs(tc.save_episodes_dir, exist_ok=True)
+                np.savez_compressed(
+                    os.path.join(tc.save_episodes_dir, f"episodes_gen{gen}.npz"),
+                    actions=np.asarray(traj["actions"])[keep],
+                    rewards=np.asarray(traj["rewards"])[keep],
+                    obs=np.asarray(traj["obs"])[keep],
+                    cumreward=np.asarray(final.cum_reward)[keep])
 
         if tc.testing_frequency and gen % tc.testing_frequency == 0:
             key, k_t = jax.random.split(key)

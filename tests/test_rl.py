@@ -169,3 +169,31 @@ class TestLearning:
         first = np.mean(hist["mean_return"][:10])
         last = np.mean(hist["mean_return"][-10:])
         assert last > first * 0.6, (first, last)   # >= 40% error reduction
+
+
+class TestSaveEpisodes:
+    """Save Episode custom setting (burger_environment.py:207-238;
+    cumreward filter burger_fd_environment.py:211)."""
+
+    def test_training_dumps_filtered_episodes(self, tmp_path):
+        from marlpde_tpu.envs import registry
+        from marlpde_tpu.train import trainer
+        env = registry.make_env("diffusion-simple", N=16, num_agents=1,
+                                episode_length=4)
+        tc = trainer.TrainerConfig(num_envs=3, max_experiences=24, seed=0,
+                                   save_episodes_dir=str(tmp_path / "eps"),
+                                   save_episodes_threshold=-np.inf)
+        trainer.train(env, None, tc, verbose=False)
+        import glob
+        files = sorted(glob.glob(str(tmp_path / "eps" / "episodes_gen*.npz")))
+        assert files, "no episode dumps written"
+        d = np.load(files[0])
+        assert d["actions"].shape[1] == 4          # (B_kept, T, na, act)
+        assert d["rewards"].shape[1] == 4
+        assert d["cumreward"].shape[0] == d["actions"].shape[0]
+        # an impossible threshold filters everything
+        tc2 = trainer.TrainerConfig(num_envs=2, max_experiences=8, seed=0,
+                                    save_episodes_dir=str(tmp_path / "none"),
+                                    save_episodes_threshold=1e18)
+        trainer.train(env, None, tc2, verbose=False)
+        assert not glob.glob(str(tmp_path / "none" / "*.npz"))
