@@ -209,6 +209,58 @@ def plot_action_field(x, action_fields, fname="actions.png"):
     plt.close(fig)
 
 
+def plot_episode_dumps(npz_glob: str, out_prefix: str = "episode",
+                       action_range=(-4.0, 4.0)):
+    """Post-hoc plots from episode dumps (plotEpisode.py:24-52).
+
+    Loads every npz matching ``npz_glob`` (the trainer's --save-episodes
+    output or evaluation dumps), then writes (i) a reward-trajectory quantile
+    fan (median + 20/80% band, plotEpisode.py:25-37) and (ii) a KDE of the
+    action (SGS-forcing) distribution (plotEpisode.py:40-52).
+    Returns the two written filenames."""
+    import glob as _glob
+
+    from scipy.stats import gaussian_kde
+    plt = _plt()
+    files = sorted(_glob.glob(npz_glob))
+    if not files:
+        raise FileNotFoundError(f"[plotting] no episode dumps match {npz_glob}")
+    rewards, actions = [], []
+    for f in files:
+        d = np.load(f)
+        rewards.append(np.asarray(d["rewards"]).reshape(
+            d["rewards"].shape[0], d["rewards"].shape[1], -1).mean(-1))
+        actions.append(np.asarray(d["actions"]).reshape(-1))
+    rewards = np.concatenate(rewards, axis=0)      # (episodes, T)
+    actions = np.concatenate(actions)
+
+    fq = f"{out_prefix}_quantiles.png"
+    fig, ax = plt.subplots()
+    t = np.arange(rewards.shape[1])
+    ax.plot(t, np.quantile(rewards, 0.5, axis=0), color="coral")
+    ax.fill_between(t, np.quantile(rewards, 0.2, axis=0),
+                    np.quantile(rewards, 0.8, axis=0), color="coral", alpha=0.2)
+    ax.set_xlabel("macro-step")
+    ax.set_ylabel("reward")
+    fig.tight_layout()
+    fig.savefig(fq)
+    plt.close(fig)
+
+    fk = f"{out_prefix}_action_kde.png"
+    fig, ax = plt.subplots()
+    svals = np.linspace(action_range[0], action_range[1], 500)
+    if actions.std() > 0:
+        ax.plot(svals, gaussian_kde(actions)(svals))
+        ax.set_yscale("log")
+    else:                                  # degenerate (e.g. all-zero) dump
+        ax.hist(actions, bins=50)
+    ax.set_xlabel("action")
+    fig.tight_layout()
+    fig.savefig(fk)
+    plt.close(fig)
+    return fq, fk
+
+
 def plot_training_curves(history: dict, fname="training.png"):
     """korali.rlview equivalent: returns/episode-length/metrics vs experiences."""
     plt = _plt()

@@ -161,3 +161,26 @@ class TestCli:
                   "--NE", "160", "--numenvs", "4", "--width", "8",
                   "--noise", "0", "--serialize-replay"])
         assert (tmp_path / "_result_diffusion-simple_0" / "replay.npz").exists()
+
+
+class TestConvergenceScript:
+    """other/convergencerate.py parity harness (scripts/convergence.py)."""
+
+    def test_small_study_orders_sensible(self, tmp_path, capsys):
+        import importlib.util
+        import os
+        spec = importlib.util.spec_from_file_location(
+            "convergence", os.path.join(os.path.dirname(__file__), "..",
+                                        "scripts", "convergence.py"))
+        conv = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(conv)
+        conv.main(["--ndns", "128", "--dt-dns", "0.005", "--dt", "0.01",
+                   "--tend", "0.3", "--nmin", "4", "--nmax", "5",
+                   "--out-dir", str(tmp_path), "--no-plots"])
+        import json
+        with open(tmp_path / "convergence.json") as f:
+            out = json.load(f)
+        assert out["N"] == [16, 32]
+        # refinement must not increase the error
+        assert out["mse_rk3"][1] <= out["mse_rk3"][0]
+        assert all(m > 0 for m in out["mse_abcn"])

@@ -117,3 +117,28 @@ class TestMovies:
                                          num_frames=3)
         with open(f, "rb") as fh:
             assert fh.read(6) in (b"GIF87a", b"GIF89a")
+
+
+class TestEpisodeDumpPlots:
+    """plotEpisode.py parity over --save-episodes dumps (plotEpisode.py:24-52)."""
+
+    def test_plot_episode_dumps(self, tmp_path, rng):
+        from marlpde_tpu.analysis import plotting
+        for g in (1, 2):
+            np.savez_compressed(
+                tmp_path / f"episodes_gen{g}.npz",
+                actions=rng.standard_normal((3, 5, 2, 4)),
+                rewards=rng.standard_normal((3, 5, 2)),
+                obs=rng.standard_normal((3, 5, 2, 6)),
+                cumreward=rng.standard_normal((3, 2)))
+        fq, fk = plotting.plot_episode_dumps(
+            str(tmp_path / "episodes_gen*.npz"),
+            out_prefix=str(tmp_path / "ep"))
+        import os
+        assert os.path.getsize(fq) > 0 and os.path.getsize(fk) > 0
+
+    def test_missing_glob_raises(self, tmp_path):
+        from marlpde_tpu.analysis import plotting
+        import pytest as _pytest
+        with _pytest.raises(FileNotFoundError):
+            plotting.plot_episode_dumps(str(tmp_path / "nope*.npz"))
