@@ -70,6 +70,9 @@ def build_parser():
     p.add_argument("--serialize-replay", action="store_true",
                    help="save the replay buffer with checkpoints "
                         "(korali Experience Replay Serialize)")
+    p.add_argument("--fused", action="store_true",
+                   help="fuse each generation (collect+replay+updates) into "
+                        "one XLA dispatch — fastest on TPU")
     p.add_argument("--save-episodes", action="store_true",
                    help='dump training episodes to <result>/episodes/ '
                         '(s["Custom Settings"]["Save Episode"])')
@@ -154,7 +157,7 @@ def make_workload(args):
         replay_start_experiences=20000 * args.episodelength // 500,
         replay_max_experiences=100000 * args.episodelength // 500)
     tc = trainer.TrainerConfig(num_envs=args.numenvs, max_experiences=args.NE,
-                               seed=args.seed)
+                               seed=args.seed, fused=args.fused)
     if args.save_episodes:
         tc = dataclasses.replace(
             tc, save_episodes_dir=f"_result_{args.workload}_{args.run}/episodes")

@@ -41,6 +41,12 @@ class TrainerConfig:
     # reward clears a threshold (burger_fd_environment.py:211 saves > -1.0).
     save_episodes_dir: Optional[str] = None
     save_episodes_threshold: float = -np.inf
+    # fuse one whole generation (collect + replay insert + normalizer update +
+    # all gradient updates) into a single jitted program: 1 dispatch per
+    # generation instead of 3 + updates.  Dispatch latency dominates on
+    # high-latency backends (the axon TPU tunnel); the RNG stream is identical
+    # to the unfused path (tests/test_rl.py::TestFusedGeneration).
+    fused: bool = False
 
 
 def default_rl_config(env: Env, **overrides) -> vracer.VracerConfig:
@@ -98,22 +104,72 @@ def train(env: Env, rl_cfg: Optional[vracer.VracerConfig] = None,
         max(1, new_exp_per_gen * tc.reuse_ratio
             / (rl_cfg.mini_batch_episodes * T))))
 
+    @jax.jit
+    def fused_generation(ts_, rep_, k_c, k_u, episode_base_, consts):
+        """One whole generation in one XLA program.  RNG-key usage replicates
+        the unfused loop exactly, so both paths are bitwise identical."""
+        traj_, final_ = collect_episodes(env, rl_cfg, ts_, k_c, tc.num_envs,
+                                         episode_base_, consts=consts)
+        rep_ = replay_mod.add_episodes(rep_, traj_)
+        ts_ = vracer.observe_episodes(rl_cfg, ts_, traj_)
+
+        def run_updates(operand):
+            t0_, k0 = operand
+
+            def body(carry, _):
+                t_, kk = carry
+                kk, ki = jax.random.split(kk)
+                kb, _ = jax.random.split(ki)
+                batch = replay_mod.sample_episodes(
+                    rep_, kb, rl_cfg.mini_batch_episodes)
+                t_, m = vracer.update(rl_cfg, t_, batch)
+                return (t_, kk), m
+
+            (t1, _), ms = jax.lax.scan(body, (t0_, k0), None,
+                                       length=upd_per_gen)
+            return t1, jax.tree.map(lambda a: a[-1], ms)
+
+        mshape = jax.eval_shape(run_updates, (ts_, k_u))[1]
+
+        def skip_updates(operand):
+            t0_, _ = operand
+            return t0_, jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), mshape)
+
+        did = rep_.filled >= rl_cfg.replay_start_episodes
+        ts_, metrics_ = jax.lax.cond(did, run_updates, skip_updates,
+                                     (ts_, k_u))
+        stats = dict(
+            mean_return=final_.cum_reward.reshape(tc.num_envs, -1).mean(),
+            ep_len=traj_["mask"].sum(1).mean(),
+            n_upd=jnp.where(did, upd_per_gen, 0))
+        return ts_, rep_, traj_, final_, metrics_, stats
+
     while total_exp < tc.max_experiences:
         key, k_c, k_u = jax.random.split(key, 3)
-        traj, final = collect(ts, k_c, jnp.asarray(episode_base), env.consts)
-        rep = add(rep, traj)
-        ts = observe(ts, traj)
-        episode_base += tc.num_envs
-        total_exp += new_exp_per_gen
-        gen += 1
+        if tc.fused:
+            ts, rep, traj, final, metrics, stats = fused_generation(
+                ts, rep, k_c, k_u, jnp.asarray(episode_base), env.consts)
+            episode_base += tc.num_envs
+            total_exp += new_exp_per_gen
+            gen += 1
+            n_upd = int(stats["n_upd"])
+            metrics = metrics if n_upd else {}
+        else:
+            traj, final = collect(ts, k_c, jnp.asarray(episode_base), env.consts)
+            rep = add(rep, traj)
+            ts = observe(ts, traj)
+            episode_base += tc.num_envs
+            total_exp += new_exp_per_gen
+            gen += 1
 
-        metrics = {}
-        n_upd = 0
-        if int(rep.filled) >= rl_cfg.replay_start_episodes:
-            for i in range(upd_per_gen):
-                k_u, k_i = jax.random.split(k_u)
-                ts, metrics = do_update(ts, rep, k_i)
-                n_upd += 1
+            metrics = {}
+            n_upd = 0
+            if int(rep.filled) >= rl_cfg.replay_start_episodes:
+                for i in range(upd_per_gen):
+                    k_u, k_i = jax.random.split(k_u)
+                    ts, metrics = do_update(ts, rep, k_i)
+                    n_upd += 1
 
         mean_ret = float(final.cum_reward.mean())
         ep_len = float(traj["mask"].sum(1).mean())

@@ -197,3 +197,30 @@ class TestSaveEpisodes:
                                     save_episodes_threshold=1e18)
         trainer.train(env, None, tc2, verbose=False)
         assert not glob.glob(str(tmp_path / "none" / "*.npz"))
+
+
+class TestFusedGeneration:
+    """Fused one-dispatch generation == unfused loop (same RNG stream)."""
+
+    def test_fused_matches_unfused(self):
+        from marlpde_tpu.envs import registry
+        from marlpde_tpu.train import trainer
+        env = registry.make_env("diffusion-simple", N=16, num_agents=1,
+                                episode_length=4)
+        rl = trainer.default_rl_config(env, width=16,
+                                       replay_start_experiences=8,
+                                       replay_max_experiences=64)
+        mk = lambda fused: trainer.TrainerConfig(
+            num_envs=2, max_experiences=32, seed=7, fused=fused)
+        ts_a, rep_a, h_a = trainer.train(env, rl, mk(False), verbose=False)
+        ts_b, rep_b, h_b = trainer.train(env, rl, mk(True), verbose=False)
+        assert h_a["updates"] == h_b["updates"]
+        assert sum(h_b["updates"]) > 0, "updates never ran; test is vacuous"
+        np.testing.assert_allclose(
+            np.asarray(ts_a.n_updates), np.asarray(ts_b.n_updates))
+        for pa, pb in zip(jax.tree.leaves(ts_a.params),
+                          jax.tree.leaves(ts_b.params)):
+            np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                       rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(h_a["mean_return"], h_b["mean_return"],
+                                   rtol=1e-6)
