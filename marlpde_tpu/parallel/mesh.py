@@ -155,19 +155,41 @@ def make_sharded_generation(env: Env, rl_cfg: vracer.VracerConfig, mesh: Mesh,
 
 def run_generations(env: Env, rl_cfg, mesh: Mesh, envs_per_device: int,
                     updates_per_gen: int, n_generations: int, seed: int = 0,
-                    axis: str = "env"):
-    """Convenience driver used by the multichip dry-run and the TPU trainer."""
+                    axis: str = "env", verbose: bool = False,
+                    init_ts=None, history: Optional[dict] = None):
+    """Convenience driver used by the multichip dry-run and the TPU trainer.
+
+    Returns (ts, rep_shards, history) where history carries per-generation
+    gen/experiences/mean_return/mean_ep_len (the trainer-history subset rlview
+    understands)."""
+    import time as _time
+
     n_dev = mesh.devices.size
     gen_fn, init_rep = make_sharded_generation(
         env, rl_cfg, mesh, envs_per_device, updates_per_gen, axis)
     key = jax.random.key(seed)
     key, k0 = jax.random.split(key)
-    ts = replicate(mesh, vracer.init_train(rl_cfg, k0))
+    ts = replicate(mesh, init_ts if init_ts is not None
+                   else vracer.init_train(rl_cfg, k0))
     rep = init_rep()
-    stats = None
+    history = history if history is not None else dict(
+        gen=[], experiences=[], mean_return=[], mean_ep_len=[], wall_time=[])
+    gen0 = history["gen"][-1] if history["gen"] else 0
+    t0 = _time.time()
     for g in range(n_generations):
         key, kg = jax.random.split(key)
         keys = jax.random.split(kg, n_dev)
-        bases = jnp.full((n_dev,), g * n_dev * envs_per_device, jnp.int32)
+        bases = jnp.full((n_dev,), (gen0 + g) * n_dev * envs_per_device,
+                         jnp.int32)
         ts, rep, stats = gen_fn(ts, rep, keys, bases, env.consts)
-    return ts, rep, stats
+        history["gen"].append(gen0 + g + 1)
+        history["experiences"].append(
+            (gen0 + g + 1) * n_dev * envs_per_device * env.episode_length)
+        history["mean_return"].append(float(stats["mean_return"]))
+        history["mean_ep_len"].append(float(stats["mean_ep_len"]))
+        history["wall_time"].append(_time.time() - t0)
+        if verbose:
+            print(f"[mesh-trainer] gen {gen0 + g + 1} devices {n_dev} "
+                  f"return {history['mean_return'][-1]:.5f} "
+                  f"eplen {history['mean_ep_len'][-1]:.1f}", flush=True)
+    return ts, rep, history

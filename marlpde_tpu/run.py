@@ -70,6 +70,10 @@ def build_parser():
     p.add_argument("--serialize-replay", action="store_true",
                    help="save the replay buffer with checkpoints "
                         "(korali Experience Replay Serialize)")
+    p.add_argument("--mesh", action="store_true",
+                   help="train data-parallel over ALL visible devices "
+                        "(1-D env mesh, shard_map generation; parallel/mesh.py). "
+                        "--numenvs is the GLOBAL episodes per generation")
     p.add_argument("--fused", action="store_true",
                    help="fuse each generation (collect+replay+updates) into "
                         "one XLA dispatch — fastest on TPU")
@@ -192,6 +196,30 @@ def main(argv=None):
     env, rl_cfg, tc = make_workload(args)
     result_dir = f"_result_{args.workload}_{args.run}"
     os.makedirs(result_dir, exist_ok=True)
+
+    if args.mesh and not args.test:
+        import jax
+        from marlpde_tpu.parallel import mesh as pmesh
+        pmesh.initialize_distributed()
+        mesh = pmesh.make_mesh()
+        n_dev = mesh.devices.size
+        if args.numenvs % n_dev:
+            raise SystemExit(f"--numenvs {args.numenvs} must divide the "
+                             f"device count {n_dev}")
+        per_dev = args.numenvs // n_dev
+        T = env.episode_length
+        upd = int(min(tc.max_updates_per_gen,
+                      max(1, args.numenvs * T * tc.reuse_ratio
+                          / (rl_cfg.mini_batch_episodes * T))))
+        n_gens = max(1, int(tc.max_experiences // (args.numenvs * T)))
+        ts, rep, history = pmesh.run_generations(
+            env, rl_cfg, mesh, envs_per_device=per_dev, updates_per_gen=upd,
+            n_generations=n_gens, seed=args.seed, verbose=True)
+        ckpt.save_train_state(result_dir, ts, history)
+        print(json.dumps({"workload": args.workload, "mesh_devices": int(n_dev),
+                          "final_mean_return": history["mean_return"][-1],
+                          "generations": history["gen"][-1]}))
+        return
 
     if args.learner == "apg" and not args.test:
         import jax

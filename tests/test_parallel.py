@@ -25,11 +25,11 @@ class TestShardedGeneration:
         rl_cfg = trainer.default_rl_config(
             env, width=16, replay_start_experiences=10,
             replay_max_experiences=1600, mini_batch_episodes=2)
-        ts, rep, stats = pmesh.run_generations(
+        ts, rep, hist = pmesh.run_generations(
             env, rl_cfg, cpu_mesh, envs_per_device=2, updates_per_gen=2,
             n_generations=2)
-        assert np.isfinite(float(stats["mean_return"]))
-        assert int(stats["experiences"]) == 8 * 2 * 2 * 10
+        assert np.isfinite(hist["mean_return"][-1])
+        assert int(hist["experiences"][-1]) == 8 * 2 * 2 * 10
         # params stay replicated and identical across devices
         p = jax.tree.leaves(ts.params)[0]
         assert int(ts.n_updates) >= 1
@@ -42,10 +42,10 @@ class TestShardedGeneration:
         rl_cfg = trainer.default_rl_config(
             env, width=16, replay_start_experiences=10,
             replay_max_experiences=800, mini_batch_episodes=2)
-        ts, rep, stats = pmesh.run_generations(
+        ts, rep, hist = pmesh.run_generations(
             env, rl_cfg, cpu_mesh, envs_per_device=1, updates_per_gen=1,
             n_generations=1)
-        assert np.isfinite(float(stats["mean_return"]))
+        assert np.isfinite(hist["mean_return"][-1])
 
     def test_replay_shards_stay_local(self, cpu_mesh):
         env = registry.make_env("diffusion-simple", N=8, episode_length=10,
