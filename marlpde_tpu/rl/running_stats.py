@@ -29,10 +29,14 @@ def update(rs: RunningStats, batch, weights=None) -> RunningStats:
     flat = batch.reshape((-1,) + rs.mean.shape)
     if weights is not None:
         w = weights.reshape(-1)
+        wc = w[:, None] if rs.mean.ndim else w
+        # zero excluded rows BEFORE any arithmetic: with huge/inf excluded
+        # values, x*0 or (x-mean)^2*0 would be inf*0 = NaN
+        flat = jnp.where(wc > 0, flat, 0.0)
         n_b = jnp.maximum(w.sum(), 1e-8)
-        mean_b = (flat * w[:, None] if rs.mean.ndim else flat * w).sum(0) / n_b
-        diff2 = (flat - mean_b) ** 2
-        m2_b = (diff2 * (w[:, None] if rs.mean.ndim else w)).sum(0)
+        mean_b = (flat * wc).sum(0) / n_b
+        diff2 = jnp.where(wc > 0, (flat - mean_b) ** 2, 0.0)
+        m2_b = (diff2 * wc).sum(0)
     else:
         n_b = jnp.asarray(flat.shape[0], flat.dtype)
         mean_b = flat.mean(0)

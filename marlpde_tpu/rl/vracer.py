@@ -26,6 +26,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
@@ -61,6 +62,22 @@ class VracerConfig:
     multi_agent_correlation: bool = False
     value_coef: float = 1.0
     max_grad_norm: float = 10.0
+    # Blowup containment: the reference envs emit reward = -inf on numeric
+    # blowup (burger_environment.py:200) — an -inf entering replay turns
+    # V-trace targets and the value loss into NaN and permanently poisons the
+    # policy (observed: all later episodes die at step 1 on NaN actions).
+    # Rewards are floored at this value inside the learner only; the env-side
+    # parity (-inf) is untouched.  Set to -inf to disable.
+    reward_floor: float = -1e4
+    # Normalized observations are clipped to +-obs_clip standard deviations:
+    # the last observations before a numeric blowup are astronomically large
+    # (finite), and un-clipped they drive the value loss to inf and the
+    # gradient-norm clip to NaN.  Set to inf to disable.
+    obs_clip: float = 32.0
+    # Samples whose |obs| exceeds this never enter the running normalizer
+    # statistics (squaring a ~1e35 pre-blowup field overflows f32 and turns
+    # the normalizer std into NaN for good).  Set to inf to disable.
+    obs_stat_bound: float = 1e6
 
     @property
     def replay_capacity_episodes(self) -> int:
@@ -102,10 +119,16 @@ def init_train(cfg: VracerConfig, key, dtype=jnp.float32) -> TrainState:
         rew_stats=running_stats.init((), dtype))
 
 
+def _prep_obs(cfg: VracerConfig, ts: TrainState, obs):
+    x = running_stats.normalize(ts.obs_stats, obs) if cfg.state_rescaling else obs
+    if np.isfinite(cfg.obs_clip):
+        x = jnp.clip(x, -cfg.obs_clip, cfg.obs_clip)
+    return x
+
+
 def policy_apply(cfg: VracerConfig, ts: TrainState, obs):
     """obs (..., obs_dim) -> (V, mu, sigma)."""
-    x = running_stats.normalize(ts.obs_stats, obs) if cfg.state_rescaling else obs
-    return make_net(cfg).apply(ts.params, x)
+    return make_net(cfg).apply(ts.params, _prep_obs(cfg, ts, obs))
 
 
 def act(cfg: VracerConfig, ts: TrainState, obs, key):
@@ -126,13 +149,20 @@ def observe_episodes(cfg: VracerConfig, ts: TrainState, batch) -> TrainState:
     new_rew = ts.rew_stats
     mask_sa = jnp.broadcast_to(batch["mask"][..., None], batch["rewards"].shape)
     if cfg.state_rescaling:
-        m = jnp.broadcast_to(batch["mask"][..., None, None], batch["obs"].shape[:-1] + (1,))
+        m = jnp.broadcast_to(batch["mask"][..., None, None],
+                             batch["obs"].shape[:-1] + (1,))
+        if np.isfinite(cfg.obs_stat_bound):
+            ok = (jnp.abs(batch["obs"]).max(-1, keepdims=True)
+                  <= cfg.obs_stat_bound)
+            m = m * ok.astype(m.dtype)
         new_obs = running_stats.update(
             new_obs, batch["obs"].reshape(-1, cfg.obs_dim),
             weights=m.reshape(-1))
     if cfg.reward_rescaling:
         new_rew = running_stats.update(
-            new_rew, batch["rewards"].reshape(-1), weights=mask_sa.reshape(-1))
+            new_rew,
+            jnp.maximum(batch["rewards"], cfg.reward_floor).reshape(-1),
+            weights=mask_sa.reshape(-1))
     return ts.replace(obs_stats=new_obs, rew_stats=new_rew)
 
 
@@ -170,12 +200,10 @@ def _vtrace(V, rewards, rho, mask, gamma):
 
 def _loss(cfg: VracerConfig, params, ts: TrainState, batch, cutoff):
     net = make_net(cfg)
-    obs = batch["obs"]
-    if cfg.state_rescaling:
-        obs = running_stats.normalize(ts.obs_stats, obs)
+    obs = _prep_obs(cfg, ts, batch["obs"])
     V, mu, sigma = net.apply(params, obs)          # (K, T, na[, A])
 
-    rewards = batch["rewards"]
+    rewards = jnp.maximum(batch["rewards"], cfg.reward_floor)
     if cfg.reward_rescaling:
         rewards = running_stats.scale(ts.rew_stats, rewards)
     if cfg.multi_agent_relationship == "cooperation":

@@ -224,3 +224,46 @@ class TestFusedGeneration:
                                        rtol=1e-6, atol=1e-8)
         np.testing.assert_allclose(h_a["mean_return"], h_b["mean_return"],
                                    rtol=1e-6)
+
+
+class TestBlowupContainment:
+    """-inf blowup rewards (burger_environment.py:200 parity) must not poison
+    the learner: reward_floor clamps them inside VRACER only."""
+
+    def test_training_survives_env_blowups(self):
+        # dforce=False (actions scaled by d2udx2, Burger.py:445-450) blows up
+        # LES under random exploration — exactly the failure seen in training
+        env = registry.make_env(
+            "burger", N_dns=64, grid_size=16, num_actions=16, num_agents=4,
+            dt=0.01, T=1.0, nu=0.02, episode_length=20, ic_case="turbulence",
+            spectral_reward=True, noise=0.0, dforce=False)
+        rl_cfg = trainer.default_rl_config(
+            env, width=16, init_noise=3.0,
+            replay_start_experiences=40, replay_max_experiences=4000,
+            mini_batch_episodes=2)
+        tc = trainer.TrainerConfig(num_envs=4, max_experiences=800,
+                                   seed=0, max_updates_per_gen=10)
+        ts, rep, hist = trainer.train(env, rl_cfg, tc, verbose=False)
+        # some episodes must actually have blown up for this test to bite
+        assert min(hist["mean_return"]) == -np.inf
+        # ...yet the learner stays finite and the policy keeps acting
+        for leaf in jax.tree.leaves(ts.params):
+            assert np.all(np.isfinite(np.asarray(leaf)))
+        assert hist["mean_ep_len"][-1] > 1.0
+        assert int(ts.n_updates) > 0
+
+    def test_reward_floor_disabled_reproduces_poisoning(self):
+        env = registry.make_env(
+            "burger", N_dns=64, grid_size=16, num_actions=16, num_agents=4,
+            dt=0.01, T=1.0, nu=0.02, episode_length=20, ic_case="turbulence",
+            spectral_reward=True, noise=0.0, dforce=False)
+        rl_cfg = trainer.default_rl_config(
+            env, width=16, init_noise=3.0, reward_floor=-np.inf,
+            replay_start_experiences=40, replay_max_experiences=4000,
+            mini_batch_episodes=2)
+        tc = trainer.TrainerConfig(num_envs=4, max_experiences=800,
+                                   seed=0, max_updates_per_gen=10)
+        ts, rep, hist = trainer.train(env, rl_cfg, tc, verbose=False)
+        finite = all(np.all(np.isfinite(np.asarray(l)))
+                     for l in jax.tree.leaves(ts.params))
+        assert not finite, "expected NaN poisoning with floor disabled"
