@@ -70,6 +70,12 @@ def build_parser():
     p.add_argument("--serialize-replay", action="store_true",
                    help="save the replay buffer with checkpoints "
                         "(korali Experience Replay Serialize)")
+    p.add_argument("--testfreq", type=int, default=0,
+                   help="generations between deterministic evals "
+                        '(e["Problem"]["Testing Frequency"]; 0 = off)')
+    p.add_argument("--testepisodes", type=int, default=8,
+                   help='episodes per deterministic eval '
+                        '(e["Problem"]["Policy Testing Episodes"])')
     p.add_argument("--mesh", action="store_true",
                    help="train data-parallel over ALL visible devices "
                         "(1-D env mesh, shard_map generation; parallel/mesh.py). "
@@ -161,7 +167,9 @@ def make_workload(args):
         replay_start_experiences=20000 * args.episodelength // 500,
         replay_max_experiences=100000 * args.episodelength // 500)
     tc = trainer.TrainerConfig(num_envs=args.numenvs, max_experiences=args.NE,
-                               seed=args.seed, fused=args.fused)
+                               seed=args.seed, fused=args.fused,
+                               testing_frequency=args.testfreq,
+                               testing_episodes=args.testepisodes)
     if args.save_episodes:
         tc = dataclasses.replace(
             tc, save_episodes_dir=f"_result_{args.workload}_{args.run}/episodes")
@@ -241,10 +249,13 @@ def main(argv=None):
         ts = ckpt.load_train_state(result_dir, rl_cfg)
         if ts is None:
             raise SystemExit(f"--test: no checkpoint in {result_dir}")
-        rets = trainer.evaluate(env, rl_cfg, ts, jax.random.key(args.seed), 8)
+        rets = trainer.evaluate(env, rl_cfg, ts, jax.random.key(args.seed),
+                                args.testepisodes)
+        r = np.asarray(rets)
+        per_episode = r.mean(-1) if r.ndim > 1 else r   # mean over agents only
         print(json.dumps({"workload": args.workload,
                           "test_mean_return": float(np.mean(rets)),
-                          "test_returns": np.asarray(rets).mean(-1).tolist()}))
+                          "test_returns": per_episode.tolist()}))
         return
 
     def save_cb(gen, ts, rep, history):
