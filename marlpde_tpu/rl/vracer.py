@@ -214,7 +214,16 @@ def _loss(cfg: VracerConfig, params, ts: TrainState, batch, cutoff):
                             cfg.action_low, cfg.action_high)
     logp_b = D.joint_log_prob(batch["actions"], batch["mu"], batch["sigma"],
                               cfg.action_low, cfg.action_high)
-    rho = jnp.exp(jnp.clip(logp - logp_b, -20.0, 20.0))
+    log_ratio = jnp.clip(logp - logp_b, -20.0, 20.0)
+    if cfg.multi_agent_correlation and cfg.num_agents > 1:
+        # korali "Multi Agent Correlation" (run-vracer-burger-marl.py:113):
+        # the agents' simultaneous actions are one joint policy sample, so the
+        # importance weight is the PRODUCT over agents, shared by every
+        # agent's experience at that timestep (sum of per-agent log-ratios).
+        log_ratio = jnp.broadcast_to(
+            jnp.clip(log_ratio.sum(-1, keepdims=True), -20.0, 20.0),
+            log_ratio.shape)
+    rho = jnp.exp(log_ratio)
     near = (rho > 1.0 / cutoff) & (rho < cutoff)
 
     mask = batch["mask"][..., None]                # (K, T, 1) broadcast over agents

@@ -29,8 +29,10 @@ def build_parser():
     # solver/env flags (run-vracer-burger.py:5-34)
     p.add_argument("--NDNS", type=int, default=512)
     p.add_argument("--N", type=int, default=None, help="coarse grid size")
-    p.add_argument("--NA", type=int, default=None, help="number of actions")
-    p.add_argument("--NE", type=float, default=5e5, help="max experiences")
+    p.add_argument("--NA", "--numactions", dest="NA", type=int, default=None,
+                   help="number of actions")
+    p.add_argument("--NE", "--exp", "--numexp", dest="NE", type=float,
+                   default=5e5, help="max experiences")
     p.add_argument("--width", type=int, default=256)
     p.add_argument("--iex", type=float, default=0.1)
     p.add_argument("--episodelength", type=int, default=500)
@@ -45,7 +47,7 @@ def build_parser():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--stepper", type=int, default=1)
     p.add_argument("--dt", type=float, default=None)
-    p.add_argument("--T", type=float, default=None)
+    p.add_argument("--T", "--tend", dest="T", type=float, default=None)
     p.add_argument("--nu", type=float, default=None)
     p.add_argument("--ssm", action="store_true")
     p.add_argument("--dsm", action="store_true")
@@ -64,16 +66,30 @@ def build_parser():
     p.add_argument("--gamma", type=float, default=None)
     p.add_argument("--mar", type=str, default="individual",
                    help="Multi Agent Relationship: individual|cooperation")
+    p.add_argument("--mac", action="store_true",
+                   help="Multi Agent Correlation: joint (product) importance "
+                        "weight across agents (run-vracer-burger-marl.py:113)")
+    p.add_argument("--expperu", type=float, default=0.5,
+                   help="Experiences Between Policy Updates "
+                        "(run-vracer-burger.py:32); replay reuse = 256/expperu")
+    p.add_argument("--force", type=str, default="zero",
+                   help="laplace source term f(x): zero|sin|cos|sincos|"
+                        "fourier|gaussian (run-vracer-laplace.py:14)")
+    p.add_argument("--pop", type=int, default=8,
+                   help="CMA-ES population size (run-cmaes-burger.py:8)")
+    p.add_argument("--numgen", type=int, default=50,
+                   help="CMA-ES generations (run-cmaes-burger.py:7)")
     # trainer flags
     p.add_argument("--numenvs", type=int, default=16, help="episodes per generation")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--serialize-replay", action="store_true",
                    help="save the replay buffer with checkpoints "
                         "(korali Experience Replay Serialize)")
-    p.add_argument("--testfreq", type=int, default=0,
+    p.add_argument("--testfreq", "--tf", dest="testfreq", type=int, default=0,
                    help="generations between deterministic evals "
                         '(e["Problem"]["Testing Frequency"]; 0 = off)')
-    p.add_argument("--testepisodes", type=int, default=8,
+    p.add_argument("--testepisodes", "--nt", dest="testepisodes", type=int,
+                   default=8,
                    help='episodes per deterministic eval '
                         '(e["Problem"]["Policy Testing Episodes"])')
     p.add_argument("--mesh", action="store_true",
@@ -156,7 +172,7 @@ def make_workload(args):
         env = registry.make_env(
             w, num_agents=args.nagents or 32, dt=args.dt or 0.01,
             episode_length=args.episodelength if args.episodelength != 500 else 100,
-            noise=args.noise)
+            noise=args.noise, sforce=args.force)
         gamma = args.gamma if args.gamma is not None else 0.95
     else:
         raise SystemExit(f"unknown workload {w}")
@@ -164,9 +180,12 @@ def make_workload(args):
     rl_cfg = trainer.default_rl_config(
         env, width=args.width, gamma=gamma, lr=args.lr, init_noise=args.iex,
         multi_agent_relationship=args.mar,
+        multi_agent_correlation=args.mac,
+        experiences_between_updates=args.expperu,
         replay_start_experiences=20000 * args.episodelength // 500,
         replay_max_experiences=100000 * args.episodelength // 500)
     tc = trainer.TrainerConfig(num_envs=args.numenvs, max_experiences=args.NE,
+                               reuse_ratio=256.0 / args.expperu,
                                seed=args.seed, fused=args.fused,
                                testing_frequency=args.testfreq,
                                testing_episodes=args.testepisodes)
@@ -185,9 +204,8 @@ def run_cmaes(args):
         T=args.T or 5.0, nu=args.nu or 0.02,
         episode_length=args.episodelength, ic_case=args.ic or "turbulence",
         seed=args.seed)
-    cfg = cmaes.CmaesConfig(dim=1, population=8, lower=0.0, upper=1.0,
-                            max_generations=int(args.NE) if args.NE < 1000 else 50,
-                            seed=args.seed)
+    cfg = cmaes.CmaesConfig(dim=1, population=args.pop, lower=0.0, upper=1.0,
+                            max_generations=args.numgen, seed=args.seed)
     best_x, best_cost, hist = cmaes.cmaes_minimize(f, cfg)
     print(json.dumps({"workload": "cmaes-burger", "best_cs": float(best_x[0]),
                       "best_objective": -best_cost,

@@ -117,6 +117,46 @@ class TestReplay:
         assert vals == [2.0, 3.0, 4.0]   # oldest (0,1) overwritten
 
 
+class TestMultiAgentCorrelation:
+    def test_joint_rho_is_product_over_agents(self):
+        """korali Multi Agent Correlation (run-vracer-burger-marl.py:113):
+        the importance weight becomes the product over agents.  With two
+        identical agents and one (K=1, T=1) experience, mean_rho under MAC
+        must equal mean_rho**2 of the uncorrelated case."""
+        kw = dict(obs_dim=1, act_dim=1, num_agents=2, episode_length=1,
+                  state_rescaling=False, reward_rescaling=False,
+                  action_low=-5.0, action_high=5.0)
+        cfg_ind = vracer.VracerConfig(**kw)
+        cfg_mac = vracer.VracerConfig(multi_agent_correlation=True, **kw)
+        ts = vracer.init_train(cfg_ind, jax.random.key(0))
+        batch = dict(obs=jnp.zeros((1, 1, 2, 1)),
+                     actions=jnp.full((1, 1, 2, 1), 0.3),
+                     mu=jnp.full((1, 1, 2, 1), 0.7),
+                     sigma=jnp.full((1, 1, 2, 1), 0.9),
+                     rewards=jnp.ones((1, 1, 2)), mask=jnp.ones((1, 1)))
+        _, m_ind = vracer._loss(cfg_ind, ts.params, ts, batch, cutoff=1e9)
+        _, m_mac = vracer._loss(cfg_mac, ts.params, ts, batch, cutoff=1e9)
+        np.testing.assert_allclose(float(m_mac["mean_rho"]),
+                                   float(m_ind["mean_rho"]) ** 2, rtol=1e-5)
+
+    def test_single_agent_unchanged(self):
+        kw = dict(obs_dim=1, act_dim=1, num_agents=1, episode_length=1,
+                  state_rescaling=False, reward_rescaling=False)
+        ts = vracer.init_train(vracer.VracerConfig(**kw), jax.random.key(0))
+        batch = dict(obs=jnp.zeros((1, 1, 1, 1)),
+                     actions=jnp.full((1, 1, 1, 1), 0.3),
+                     mu=jnp.full((1, 1, 1, 1), 0.7),
+                     sigma=jnp.full((1, 1, 1, 1), 0.9),
+                     rewards=jnp.ones((1, 1, 1)), mask=jnp.ones((1, 1)))
+        for field in ("loss", "mean_rho"):
+            a = vracer._loss(vracer.VracerConfig(**kw), ts.params, ts,
+                             batch, cutoff=4.0)[1][field]
+            b = vracer._loss(
+                vracer.VracerConfig(multi_agent_correlation=True, **kw),
+                ts.params, ts, batch, cutoff=4.0)[1][field]
+            np.testing.assert_allclose(float(a), float(b), rtol=1e-7)
+
+
 class TestRunningStats:
     def test_matches_numpy(self, rng):
         rs = running_stats.init((3,))
