@@ -271,9 +271,28 @@ def main(argv=None):
                                 args.testepisodes)
         r = np.asarray(rets)
         per_episode = r.mean(-1) if r.ndim > 1 else r   # mean over agents only
-        print(json.dumps({"workload": args.workload,
-                          "test_mean_return": float(np.mean(rets)),
-                          "test_returns": per_episode.tolist()}))
+        summary = {"workload": args.workload,
+                   "test_mean_return": float(np.mean(rets)),
+                   "test_returns": per_episode.tolist()}
+        if args.workload in ("burger", "burger-marl", "burger-fd",
+                             "coupled-burger"):
+            # reference test mode (run-vracer-burger.py:203-210 ->
+            # burger_testing_environment.py + burger_environment.py:241-329):
+            # sweep the DNS pool dumping relError/sgsTerms/dnsSgsTerms .npy,
+            # then the controlled-vs-uncontrolled comparison + makePlot.
+            from marlpde_tpu.analysis import evaluation
+            evaluation.evaluate_policy(
+                env.cfg, env.consts, rl_cfg, ts, out_dir=result_dir,
+                run_tag=args.run, key=jax.random.key(args.seed))
+            cmp_ = evaluation.compare_with_uncontrolled(
+                env.cfg, env.consts, rl_cfg, ts,
+                key=jax.random.key(args.seed),
+                file_prefix=os.path.join(result_dir, "test"))
+            summary["baseline_cumreward"] = float(
+                np.mean(cmp_["baseline_cumreward"]))
+            summary["controlled_cumreward"] = float(
+                np.mean(cmp_["controlled_cumreward"]))
+        print(json.dumps(summary))
         return
 
     def save_cb(gen, ts, rep, history):
