@@ -63,23 +63,22 @@ def main():
         cfg2 = _dc.replace(env.cfg, fft_impl=fft_impl)
         env = registry.make_env("burger", cfg=cfg2, pool=env.consts)
     n_intermediate = env.cfg.n_intermediate
-    rl_cfg = trainer.default_rl_config(env, width=128)
+    rl_cfg = trainer.default_rl_config(
+        env, width=128,
+        policy_impl=os.environ.get("BENCH_POLICY", "xla"))
     ts = vracer.init_train(rl_cfg, jax.random.key(0))
 
     log(f"devices={jax.devices()} B={B} macro={macro_steps} nint={n_intermediate}")
     pool = env.consts
-    log("pool built (host); resetting envs")
+    log("pool built (host)")
     reset_keys = jax.random.split(jax.random.key(1), B)
-    state, obs = jax.jit(
-        lambda p, ks, cs: jax.vmap(lambda k, c: env.reset(p, k, c))(ks, cs)
-    )(pool, reset_keys, jnp.arange(B))
-    jax.block_until_ready(obs)
-    log("reset done; compiling rollout")
 
-    # fast (whole-batch jnp, default — equals the fused-pallas speed at these
-    # sizes without remote-kernel-compile risk) | pallas | full (general
-    # vmapped env) | env-only | policy-only
-    mode = os.environ.get("BENCH_MODE", "fast")
+    # train (default: one REAL fused training generation — whole-batch
+    # collect + replay insert + normalizer update + gradient updates, i.e.
+    # exactly what trainer.train dispatches per generation) | fast
+    # (whole-batch jnp rollout only) | pallas (fused-kernel rollout only) |
+    # full (general vmapped env) | env-only | policy-only
+    mode = os.environ.get("BENCH_MODE", "train")
 
     # policy implementation: 'xla' | 'pallas' (fused VMEM-resident MLP kernel)
     policy_impl = os.environ.get("BENCH_POLICY", "xla")
@@ -98,6 +97,55 @@ def main():
         sigma = sigma.reshape(ob.shape[:-1] + (rl_cfg.act_dim,))
         a = D.sample(k, mu, sigma, rl_cfg.action_low, rl_cfg.action_high)
         return a, mu, sigma
+
+    if mode == "train":
+        # The TRAINING path: trainer.build_fused_generation over the registry
+        # env with its whole-batch fast backend attached (the same program
+        # trainer.train dispatches every generation).  Episodes per generation
+        # = BENCH_TRAIN_ENVS whole episodes of 500 macro-steps.
+        import dataclasses as _dc
+
+        from marlpde_tpu.envs import registry as _reg
+        fast = os.environ.get("BENCH_FAST", "auto")   # auto | pallas | off
+        env = _reg.make_env("burger", cfg=env.cfg, pool=pool, fast=fast)
+        assert env.batch_step is not None or fast == "off"
+        Bt = int(os.environ.get("BENCH_TRAIN_ENVS", 1024))
+        gens = int(os.environ.get("BENCH_TRAIN_GENS", 3))
+        tc = trainer.TrainerConfig(num_envs=Bt, fused=True, seed=0)
+        upd = trainer.updates_per_generation(rl_cfg, tc, env.episode_length)
+        gen_fn = trainer.build_fused_generation(env, rl_cfg, tc, upd)
+        rep = trainer.make_replay(env, rl_cfg)
+        log(f"train mode: {Bt} episodes/gen, {upd} updates/gen, fast={fast}")
+        key = jax.random.key(5)
+        t0 = time.perf_counter()
+        key, k_c, k_u = jax.random.split(key, 3)
+        ts, rep, traj, final, metrics, stats = gen_fn(
+            ts, rep, k_c, k_u, jnp.asarray(0), pool)
+        _ = float(stats["mean_return"])   # D2H readback barrier
+        log(f"generation compiled+warm in {time.perf_counter()-t0:.0f}s; timing")
+        times, rets = [], []
+        for i in range(gens):
+            t0 = time.perf_counter()
+            key, k_c, k_u = jax.random.split(key, 3)
+            ts, rep, traj, final, metrics, stats = gen_fn(
+                ts, rep, k_c, k_u, jnp.asarray((i + 1) * Bt), pool)
+            rets.append(float(stats["mean_return"]))
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        dt_ = times[len(times) // 2]
+        log(f"per-gen times: {['%.2fs' % t for t in times]} "
+            f"returns={['%.3f' % r for r in rets]} "
+            f"n_upd={int(stats['n_upd'])}")
+        env_steps = Bt * env.episode_length * n_intermediate
+        print(json.dumps({
+            "metric": "train_env_steps_per_s_per_chip",
+            "value": round(env_steps / dt_, 1),
+            "unit": "LES-substeps/s in full training generations "
+                    "(%d episodes x 500 macro-steps + %d updates/gen, "
+                    "32 agents, spectral reward, fast=%s)" % (Bt, upd, fast),
+            "vs_baseline": round(env_steps / dt_ / 1e6, 3),
+        }))
+        return
 
     if mode in ("fast", "pallas"):
         from marlpde_tpu.envs import burger_fast
@@ -148,6 +196,12 @@ def main():
             "vs_baseline": round(env_steps / dt_ / 1e6, 3),
         }))
         return
+
+    state, obs = jax.jit(
+        lambda p, ks, cs: jax.vmap(lambda k, c: env.reset(p, k, c))(ks, cs)
+    )(pool, reset_keys, jnp.arange(B))
+    jax.block_until_ready(obs)
+    log("reset done; compiling rollout")
 
     @jax.jit
     def run(pool, ts, state, obs, key):

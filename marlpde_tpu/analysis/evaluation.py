@@ -130,3 +130,134 @@ def compare_with_uncontrolled(cfg: burger_env.BurgerEnvConfig, pool, rl_cfg, ts,
         plotting.make_plot(dns, mk(traj_b), mk(traj_c), file_prefix,
                            cfg.spectral_reward)
     return result
+
+
+def ks_testing(cfg, pool, rl_cfg, ts, out_dir: str, run_tag: int = 0,
+               key=None, sidx: int = 0):
+    """KS testing-mode branch (ks_environment.py:122-183): run the controlled
+    episode, store the LES fields npz (x, t, uu, vv, L, N, dt, nu, tEnd —
+    :122-127), compute DNS a-priori SGS terms (:129-130 compute_Sgs), run the
+    uncontrolled (zero-action) baseline (:132-178) and makePlot the three-way
+    comparison (:183).  Returns controlled/baseline cumrewards + rel errors."""
+    import os
+
+    from marlpde_tpu.envs import ks_env
+
+    key = key if key is not None else jax.random.key(0)
+    lcfg = cfg.les_solver
+
+    def episode(p, t, k, zero):
+        state, obs = ks_env.reset(cfg, p, k, jnp.asarray(sidx))
+
+        def macro(carry, kk):
+            st, ob = carry
+            if zero:
+                a = jnp.zeros((cfg.num_agents, cfg.actions_per_agent),
+                              st.solver.u.dtype)
+            else:
+                a = vracer.act_deterministic(rl_cfg, t, ob)
+            st2, ob2, rew, done, _ = ks_env.step(cfg, p, st, a)
+            count = (st2.solver.ioutnum + 1).astype(st2.solver.u.dtype)
+            return (st2, ob2), dict(u=st2.solver.u, actions=a, reward=rew,
+                                    rel_err=st2.prev_rel_err,
+                                    ektt=st2.ek_sum / count)
+
+        keys = jax.random.split(k, cfg.episode_length)
+        (final, _), traj = jax.lax.scan(macro, (state, obs), keys)
+        return traj, final
+
+    traj_c, final_c = jax.jit(lambda p, t, k: episode(p, t, k, False))(pool, ts, key)
+    traj_b, final_b = jax.jit(lambda p, t, k: episode(p, t, k, True))(pool, ts, key)
+
+    os.makedirs(out_dir, exist_ok=True)
+    tt = np.arange(1, cfg.episode_length + 1) * cfg.dt * cfg.n_intermediate
+    uu_c = np.asarray(traj_c["u"])
+    vv_c = np.fft.fft(uu_c, axis=-1)
+    # the reference's controlled-LES dump (ks_environment.py:125-127)
+    np.savez(os.path.join(out_dir, f"sgs_{run_tag}.npz"),
+             x=np.asarray(lcfg.grid.x), t=tt, uu=uu_c, vv=vv_c, L=cfg.L,
+             N=cfg.grid_size, dt=cfg.dt, nu=1.0, tEnd=cfg.t_sim)
+
+    # DNS a-priori SGS terms (ks_environment.py:129-130 dns.compute_Sgs)
+    dcfg = cfg.dns_solver
+    dns_uu = np.asarray(pool.uu[sidx])
+    sgs_terms = diagnostics.compute_sgs_ks(pool.uu[sidx], dcfg.grid.k,
+                                           dcfg.grid.dx, cfg.grid_size)
+    np.savez(os.path.join(out_dir, f"dnsSgs_{run_tag}.npz"),
+             sgs=np.asarray(sgs_terms))
+
+    dns_ek = diagnostics.compute_ek(spectral.fft(pool.uu[sidx]), dcfg.grid.dx)
+    dns = dict(x=dcfg.grid.x, tt=np.arange(dns_uu.shape[0]) * cfg.dt,
+               uu=dns_uu, ek_t=np.asarray(dns_ek["Ek_t"]),
+               ek_ktt=np.asarray(dns_ek["Ek_ktt"]))
+    mk = lambda tr: dict(
+        x=lcfg.grid.x, tt=tt, uu=np.asarray(tr["u"]),
+        ek_t=np.asarray(tr["ektt"]).sum(-1),
+        ek_ktt=np.asarray(tr["ektt"]),
+        action_fields=np.asarray(tr["actions"]).reshape(len(tt), -1))
+    plotting.make_plot(dns, mk(traj_b), mk(traj_c),
+                       os.path.join(out_dir, f"ks_{run_tag}"), spectral=True)
+    return dict(controlled_cumreward=np.asarray(final_c.cum_reward),
+                baseline_cumreward=np.asarray(final_b.cum_reward),
+                controlled_rel_err=np.asarray(traj_c["rel_err"]),
+                baseline_rel_err=np.asarray(traj_b["rel_err"]))
+
+
+def simple_env_testing(env, rl_cfg, ts, out_dir: str, key=None):
+    """Testing-mode plots for the diffusion/advection/laplace families
+    (diffusion_environment_simple.py:76-81: plotEvolution, plotActionField,
+    plotActionDistribution, plotDiffusionField).  Runs ONE deterministic
+    episode, recording the solved field, the analytical solution (where the
+    family defines one), and the expanded action fields; writes
+    evolution/actionfield/actiondist/field pngs into out_dir."""
+    import os
+
+    from marlpde_tpu.solvers import advection as adv_mod
+    from marlpde_tpu.solvers import diffusion as diff_mod
+
+    key = key if key is not None else jax.random.key(0)
+    cfg = env.cfg
+    name = env.name
+
+    def truth_of(st):
+        if name.startswith("diffusion"):
+            return diff_mod.analytical_sinus(st.solver, cfg.solver)
+        if name.startswith("advection"):
+            return adv_mod.analytical_sinus(st.solver, cfg.solver)
+        return None
+
+    def episode(consts, t, k):
+        state, obs = env.reset(consts, k, jnp.asarray(0))
+
+        def macro(carry, _):
+            st, ob = carry
+            a = vracer.act_deterministic(rl_cfg, t, ob)
+            st2, ob2, rew, done, _ = env.step(consts, st, a)
+            out = dict(u=st2.solver.u, actions=a, reward=rew)
+            tr = truth_of(st2)
+            if tr is not None:
+                out["truth"] = tr
+            return (st2, ob2), out
+
+        (final, _), traj = jax.lax.scan(macro, (state, obs), None,
+                                        length=cfg.episode_length)
+        return traj, final
+
+    traj, final = jax.jit(lambda c, t, k: episode(c, t, k))(env.consts, ts, key)
+
+    os.makedirs(out_dir, exist_ok=True)
+    x = np.asarray(cfg.solver.grid.x)
+    uu = np.asarray(traj["u"])
+    tt = np.arange(1, len(uu) + 1) * cfg.solver.dt
+    sol = np.asarray(traj["truth"]) if "truth" in traj else None
+    # actions -> fields on the grid (uniform per-agent blocks)
+    a = np.asarray(traj["actions"]).reshape(len(uu), -1)
+    afield = np.repeat(a, max(1, len(x) // a.shape[1]), axis=1)[:, : len(x)]
+
+    plotting.plot_evolution_panels(x, tt, uu, sol,
+                                   os.path.join(out_dir, "evolution.png"))
+    plotting.plot_action_contour(x, tt, afield,
+                                 os.path.join(out_dir, "actionfield.png"))
+    plotting.plot_action_distribution(a, os.path.join(out_dir, "actiondist.png"))
+    plotting.plot_field_contour(x, tt, uu, os.path.join(out_dir, "field.png"))
+    return dict(cumreward=np.asarray(final.cum_reward), uu=uu, solution=sol)

@@ -277,3 +277,63 @@ def plot_training_curves(history: dict, fname="training.png"):
     fig.tight_layout()
     fig.savefig(fname)
     plt.close(fig)
+
+
+def plot_evolution_panels(x, tt, uu, solution=None, fname="evolution.png"):
+    """2x3 field-vs-solution snapshot panels (plotting_diffusion.py:13-33
+    plotEvolution): 6 equally spaced times, solved field solid, analytical
+    solution dashed."""
+    plt = _plt()
+    uu = np.asarray(uu)
+    fig, axs = plt.subplots(2, 3, sharex=True, sharey=True)
+    T = len(uu)
+    for i in range(6):
+        tidx = min(int(i * T / 6), T - 1)
+        ax = axs[i // 3, i % 3]
+        ax.plot(x, uu[tidx], "-", color="royalblue")
+        if solution is not None:
+            ax.plot(x, np.asarray(solution)[tidx], "--", color="coral")
+    fig.tight_layout()
+    fig.savefig(fname)
+    plt.close(fig)
+
+
+def plot_action_contour(x, tt, action_fields, fname="actionfield.png"):
+    """contourf of the action field over (x, t)
+    (plotting_diffusion.py:91-103 plotActionField)."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(6, 6))
+    c = ax.contourf(x, tt, np.asarray(action_fields))
+    fig.colorbar(c)
+    fig.tight_layout()
+    fig.savefig(fname)
+    plt.close(fig)
+
+
+def plot_field_contour(x, tt, uu, fname="field.png"):
+    """contourf of u(x, t) (plotting_diffusion.py:105-116 plotDiffusionField —
+    which contourf's actionHistory, an apparent bug; we plot the field the
+    name promises)."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(8, 8))
+    ax.contourf(x, tt, np.asarray(uu))
+    fig.tight_layout()
+    fig.savefig(fname)
+    plt.close(fig)
+
+
+def plot_action_distribution(actions, fname="actiondist.png"):
+    """Distribution of all executed actions (plotting_diffusion.py:118-128
+    plotActionDistribution, a violin plot; rendered as KDE + histogram)."""
+    from scipy.stats import gaussian_kde
+    plt = _plt()
+    a = np.asarray(actions).ravel()
+    fig, ax = plt.subplots()
+    ax.hist(a, bins=64, density=True, alpha=0.4, color="royalblue")
+    if a.std() > 1e-12:
+        grid = np.linspace(a.min(), a.max(), 400)
+        ax.plot(grid, gaussian_kde(a)(grid), color="coral")
+    ax.set_xlabel("action")
+    fig.tight_layout()
+    fig.savefig(fname)
+    plt.close(fig)

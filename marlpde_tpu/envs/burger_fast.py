@@ -24,6 +24,7 @@ from marlpde_tpu.ops import abcn_pallas
 
 class FastEnvState(struct.PyTreeNode):
     u: jax.Array          # (B, N)
+    u_prev: jax.Array     # (B, N) previous sub-step field (dudt feature)
     v_re: jax.Array
     v_im: jax.Array
     fn_re: jax.Array
@@ -42,7 +43,7 @@ def reset(cfg: burger_env.BurgerEnvConfig, pool, keys, counts):
     st, obs = jax.vmap(lambda k, c: burger_env.reset(cfg, pool, k, c))(keys, counts)
     s = st.solver
     return FastEnvState(
-        u=s.u, v_re=jnp.real(s.v), v_im=jnp.imag(s.v),
+        u=s.u, u_prev=st.u_prev, v_re=jnp.real(s.v), v_im=jnp.imag(s.v),
         fn_re=jnp.real(s.fn_old), fn_im=jnp.imag(s.fn_old),
         nu=s.nu[:, None], sidx=st.sidx, ioutnum=s.ioutnum,
         ek_sum=st.ek_sum, prev_rel_err=st.prev_rel_err,
@@ -66,8 +67,12 @@ def step(cfg: burger_env.BurgerEnvConfig, pool, state: FastEnvState,
         abcn_pallas.abcn_macro_step_reference
     kw = dict(n_intermediate=cfg.n_intermediate, dt=cfg.dt, dx=float(dx))
     if use_pallas:
-        kw["tile_b"] = min(tile_b, B_)
-    u, v_re, v_im, fn_re, fn_im, ek_delta = fn(
+        # largest divisor of B <= tile_b (the kernel grid needs B % tile == 0)
+        tb = min(tile_b, B_)
+        while B_ % tb:
+            tb -= 1
+        kw["tile_b"] = tb
+    u, u_prev, v_re, v_im, fn_re, fn_im, ek_delta = fn(
         state.u, state.v_re, state.v_im, state.fn_re, state.fn_im,
         state.nu, af_re, af_im, **kw)
 
@@ -93,7 +98,8 @@ def step(cfg: burger_env.BurgerEnvConfig, pool, state: FastEnvState,
         return jnp.where(was.reshape((-1,) + (1,) * (new.ndim - 1)), old, new)
 
     new_state = FastEnvState(
-        u=keep(u, state.u), v_re=keep(v_re, state.v_re),
+        u=keep(u, state.u), u_prev=keep(u_prev, state.u_prev),
+        v_re=keep(v_re, state.v_re),
         v_im=keep(v_im, state.v_im), fn_re=keep(fn_re, state.fn_re),
         fn_im=keep(fn_im, state.fn_im), nu=state.nu, sidx=state.sidx,
         ioutnum=keep(ioutnum, state.ioutnum), ek_sum=keep(ek_sum, state.ek_sum),
@@ -103,6 +109,6 @@ def step(cfg: burger_env.BurgerEnvConfig, pool, state: FastEnvState,
 
     v = jax.lax.complex(new_state.v_re, new_state.v_im)
     obs = features.burger_features(cfg.version, cfg.num_agents, new_state.u,
-                                   new_state.u, v, cfg.dt, dx)
+                                   new_state.u_prev, v, cfg.dt, dx)
     obs = jnp.where(jnp.isfinite(obs), obs, 0.0)
     return new_state, obs, reward, done, dict(blown=blown)

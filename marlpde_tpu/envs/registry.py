@@ -29,8 +29,26 @@ from marlpde_tpu.envs import (advection_env, burger_env, diffusion_env, ks_env,
 from marlpde_tpu.envs.rollout import Env
 
 
+def fast_burger_ok(cfg: burger_env.BurgerEnvConfig) -> bool:
+    """Does the whole-batch fast path (envs/burger_fast.py) implement this
+    config?  Flagship spectral-reward ABCN closure without stochastic forcing
+    or eddy-viscosity closures (the fused kernel covers exactly that math)."""
+    import numpy as _np
+    return (cfg.scheme == "abcn" and cfg.spectral_reward and cfg.dforce
+            and cfg.dns_mode == "pool" and not cfg.coupled
+            and not (cfg.ssm or cfg.dsm or cfg.forcing or cfg.ssmforce)
+            and not cfg.nunoise and _np.isinf(cfg.state_bound))
+
+
 def make_burger_env(cfg: burger_env.BurgerEnvConfig = None, n_dns: int = 1,
-                    pool=None, dtype=jnp.float32, **overrides) -> Env:
+                    pool=None, dtype=jnp.float32, fast: str = "auto",
+                    **overrides) -> Env:
+    """``fast`` selects the rollout backend for qualifying configs
+    (fast_burger_ok): 'auto' attaches the whole-batch jnp path, 'pallas' the
+    fused VMEM-resident kernel (TPU), 'off' keeps the general vmapped env.
+    Training (envs/rollout.py + train/trainer.py) then runs at the benched
+    whole-batch speed; parity with the general env is tested in
+    tests/test_pallas.py::TestFastEnvParity."""
     if cfg is None:
         cfg = burger_env.BurgerEnvConfig(**overrides)
     elif overrides:
@@ -39,6 +57,12 @@ def make_burger_env(cfg: burger_env.BurgerEnvConfig = None, n_dns: int = 1,
         pool = burger_env.make_dns_pool(cfg, n_dns, dtype=dtype)
     name = "burger-fd" if cfg.scheme == "fd" else (
         "burger-marl" if cfg.num_agents > 1 else "burger")
+    batch_reset = batch_step = None
+    if fast != "off" and fast_burger_ok(cfg):
+        from marlpde_tpu.envs import burger_fast
+        batch_reset = partial(burger_fast.reset, cfg)
+        batch_step = partial(burger_fast.step, cfg,
+                             use_pallas=(fast == "pallas"))
     return Env(
         name=name, cfg=cfg,
         reset=partial(burger_env.reset, cfg),
@@ -46,7 +70,7 @@ def make_burger_env(cfg: burger_env.BurgerEnvConfig = None, n_dns: int = 1,
         obs_dim=cfg.obs_dim, num_agents=cfg.num_agents,
         act_dim=cfg.actions_per_agent, episode_length=cfg.episode_length,
         action_low=-5.0, action_high=5.0,   # run-vracer-burger.py:156-157
-        consts=pool)
+        consts=pool, batch_reset=batch_reset, batch_step=batch_step)
 
 
 def make_ks_env(cfg: ks_env.KSEnvConfig = None, n_dns: int = 1, pool=None,
@@ -63,7 +87,7 @@ def make_ks_env(cfg: ks_env.KSEnvConfig = None, n_dns: int = 1, pool=None,
         step=partial(ks_env.step, cfg),
         obs_dim=cfg.obs_dim, num_agents=cfg.num_agents,
         act_dim=cfg.actions_per_agent, episode_length=cfg.episode_length,
-        action_low=-0.5, action_high=0.5,   # run-vracer-ks.py action bounds
+        action_low=-5.0, action_high=5.0,   # run-vracer-ks.py:92-93
         consts=pool)
 
 

@@ -32,7 +32,7 @@ from marlpde_tpu.ops.dft import _dft_mats
 
 def _kernel(n_intermediate, dt, dx, u_ref, vre_ref, vim_ref, fre_ref, fim_ref,
             nu_ref, afre_ref, afim_ref, C_ref, S_ref, k_ref,
-            u_out, vre_out, vim_out, fre_out, fim_out, ek_out):
+            u_out, uprev_out, vre_out, vim_out, fre_out, fim_out, ek_out):
     u = u_ref[:]
     v_re = vre_ref[:]
     v_im = vim_ref[:]
@@ -50,7 +50,8 @@ def _kernel(n_intermediate, dt, dx, u_ref, vre_ref, vim_ref, fre_ref, fim_ref,
     inv = 1.0 / (1.0 + Cc)
 
     def body(_, carry):
-        u, v_re, v_im, fn_re, fn_im, ek = carry
+        u, u_prev, v_re, v_im, fn_re, fn_im, ek = carry
+        u_prev = u                      # previous SUB-step field (dudt feature)
         q = 0.5 * u * u
         d_re = jnp.dot(q, C, preferred_element_type=jnp.float32)
         d_im = jnp.dot(q, S, preferred_element_type=jnp.float32)
@@ -64,12 +65,13 @@ def _kernel(n_intermediate, dt, dx, u_ref, vre_ref, vim_ref, fre_ref, fim_ref,
         u = (jnp.dot(v_re, C, preferred_element_type=jnp.float32)
              + jnp.dot(v_im, S, preferred_element_type=jnp.float32)) / N
         ek = ek + 0.5 * (v_re * v_re + v_im * v_im) / N * dx
-        return (u, v_re, v_im, new_fn_re, new_fn_im, ek)
+        return (u, u_prev, v_re, v_im, new_fn_re, new_fn_im, ek)
 
-    u, v_re, v_im, fn_re, fn_im, ek = jax.lax.fori_loop(
-        0, n_intermediate, body, (u, v_re, v_im, fn_re, fn_im, ek))
+    u, u_prev, v_re, v_im, fn_re, fn_im, ek = jax.lax.fori_loop(
+        0, n_intermediate, body, (u, u, v_re, v_im, fn_re, fn_im, ek))
 
     u_out[:] = u
+    uprev_out[:] = u_prev
     vre_out[:] = v_re
     vim_out[:] = v_im
     fre_out[:] = fn_re
@@ -84,7 +86,9 @@ def abcn_macro_step(u, v_re, v_im, fn_re, fn_im, nu, af_re, af_im,
     """Fused macro-step over a batch of envs.
 
     u, v_*, fn_*: (B, N) float32; nu: (B, 1); af_*: (B, N) fixed action
-    forcing spectrum.  Returns (u, v_re, v_im, fn_re, fn_im, ek_sum_delta).
+    forcing spectrum.  Returns (u, u_prev, v_re, v_im, fn_re, fn_im,
+    ek_sum_delta) with u_prev the second-to-last sub-step field (the env's
+    dudt feature, Burger.py:616-621).
     """
     B, N = u.shape
     assert B % tile_b == 0, f"B={B} must be a multiple of tile_b={tile_b}"
@@ -96,7 +100,7 @@ def abcn_macro_step(u, v_re, v_im, fn_re, fn_im, nu, af_re, af_im,
                               memory_space=pltpu.VMEM)
     const = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
                                       memory_space=pltpu.VMEM)
-    out_shape = [jax.ShapeDtypeStruct((B, N), jnp.float32)] * 6
+    out_shape = [jax.ShapeDtypeStruct((B, N), jnp.float32)] * 7
     kern = functools.partial(_kernel, n_intermediate, dt, dx)
     outs = pl.pallas_call(
         kern,
@@ -106,7 +110,7 @@ def abcn_macro_step(u, v_re, v_im, fn_re, fn_im, nu, af_re, af_im,
                                memory_space=pltpu.VMEM),
                   bs(), bs(),
                   const(N, N), const(N, N), const(1, N)],
-        out_specs=[bs()] * 6,
+        out_specs=[bs()] * 7,
         out_shape=out_shape,
     )(u, v_re, v_im, fn_re, fn_im, nu,
       af_re, af_im, jnp.asarray(Cm), jnp.asarray(Sm),
@@ -122,7 +126,9 @@ def abcn_macro_step_reference(u, v_re, v_im, fn_re, fn_im, nu, af_re, af_im,
     Cc = 0.5 * (k * k) * nu * dt
     inv = 1.0 / (1.0 + Cc)
     ek = jnp.zeros_like(u)
+    u_prev = u
     for _ in range(n_intermediate):
+        u_prev = u
         q = 0.5 * u * u
         d = jnp.fft.fft(q, axis=-1)
         new_fn_re = -k * jnp.imag(d)
@@ -132,4 +138,4 @@ def abcn_macro_step_reference(u, v_re, v_im, fn_re, fn_im, nu, af_re, af_im,
         fn_re, fn_im = new_fn_re, new_fn_im
         u = jnp.real(jnp.fft.ifft(v_re + 1j * v_im, axis=-1))
         ek = ek + 0.5 * (v_re**2 + v_im**2) / N * dx
-    return u, v_re, v_im, fn_re, fn_im, ek
+    return u, u_prev, v_re, v_im, fn_re, fn_im, ek

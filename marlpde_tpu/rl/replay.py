@@ -9,6 +9,20 @@ layout stores whole fixed-length episodes:
   mu/sigma (C, T, na, act_dim)   behavior-policy params at sample time
   rewards  (C, T, na)
   mask     (C, T)                1 while the episode was live
+  final_obs (C, na, obs_dim)     observation after the last executed step
+  truncated (C,)                 True if the episode ended by numeric blowup
+                                 ("Truncated" in the reference,
+                                 burger_environment.py:201 — the learner then
+                                 bootstraps value targets from V(final_obs))
+  vtg      (C, T, na)            stored retrace (V-trace) value estimates, used
+                                 by the korali-style uniform-experience
+                                 minibatch mode (vracer minibatch_mode=
+                                 "experience"); computed at insertion and
+                                 lazily refreshed when sampled, exactly
+                                 korali's "Retrace Value" bookkeeping
+  boot     (C, na)               stored V(s_T) bootstrap for truncated
+                                 episodes (korali "Truncated State Value"),
+                                 zero for terminal ones
   filled   ()                    number of valid episode slots
   cursor   ()                    ring-buffer write head
 
@@ -31,6 +45,10 @@ class Replay(struct.PyTreeNode):
     sigma: jax.Array
     rewards: jax.Array
     mask: jax.Array
+    final_obs: jax.Array
+    truncated: jax.Array
+    vtg: jax.Array
+    boot: jax.Array
     filled: jax.Array     # int32
     cursor: jax.Array     # int32
 
@@ -48,6 +66,10 @@ def init(capacity: int, T: int, na: int, obs_dim: int, act_dim: int,
         sigma=jnp.ones((capacity, T, na, act_dim), dtype),
         rewards=jnp.zeros((capacity, T, na), dtype),
         mask=jnp.zeros((capacity, T), dtype),
+        final_obs=jnp.zeros((capacity, na, obs_dim), dtype),
+        truncated=jnp.zeros((capacity,), bool),
+        vtg=jnp.zeros((capacity, T, na), dtype),
+        boot=jnp.zeros((capacity, na), dtype),
         filled=jnp.zeros((), jnp.int32),
         cursor=jnp.zeros((), jnp.int32))
 
@@ -68,6 +90,12 @@ def add_episodes(rep: Replay, batch: dict) -> Replay:
         sigma=put(rep.sigma, batch["sigma"]),
         rewards=put(rep.rewards, batch["rewards"]),
         mask=put(rep.mask, batch["mask"]),
+        final_obs=put(rep.final_obs, batch["final_obs"]),
+        truncated=rep.truncated.at[idx].set(batch["truncated"]),
+        vtg=put(rep.vtg, batch["vtg"]) if "vtg" in batch
+            else rep.vtg.at[idx].set(0.0),
+        boot=put(rep.boot, batch["boot"]) if "boot" in batch
+            else rep.boot.at[idx].set(0.0),
         filled=jnp.minimum(rep.filled + B, C),
         cursor=(rep.cursor + B) % C)
 
@@ -76,7 +104,45 @@ def sample_episodes(rep: Replay, key, n: int) -> dict:
     """Uniformly sample n episode slots among the filled ones."""
     idx = jax.random.randint(key, (n,), 0, jnp.maximum(rep.filled, 1))
     return dict(obs=rep.obs[idx], actions=rep.actions[idx], mu=rep.mu[idx],
-                sigma=rep.sigma[idx], rewards=rep.rewards[idx], mask=rep.mask[idx])
+                sigma=rep.sigma[idx], rewards=rep.rewards[idx],
+                mask=rep.mask[idx], final_obs=rep.final_obs[idx],
+                truncated=rep.truncated[idx])
+
+
+def sample_experiences(rep: Replay, key, n: int) -> dict:
+    """Uniformly sample n individual EXPERIENCES (korali Mini Batch Size=256
+    semantics, run-vracer-burger.py:132): each valid (episode, t) pair is
+    equally likely, including across truncated (shorter) episodes — drawn as a
+    categorical over the flattened mask, so empty slots and post-termination
+    steps have probability zero.
+
+    Returns per-experience rows plus the stored next-step retrace values:
+      obs/actions/mu/sigma (n, na, ...), rewards (n, na),
+      vtg_next (n, na)  = stored vtg[ep, t+1], or boot[ep] at episode ends,
+      ep, t (n,)        = indices for scatter_vtg write-back.
+    """
+    C, T = rep.mask.shape
+    logits = jnp.where(rep.mask.reshape(-1) > 0, 0.0, -jnp.inf)
+    flat = jax.random.categorical(key, logits, shape=(n,))
+    ep, t = flat // T, flat % T
+    t_next = jnp.minimum(t + 1, T - 1)
+    has_next = (t + 1 < T) & (rep.mask[ep, t_next] > 0)
+    vtg_next = jnp.where(has_next[:, None], rep.vtg[ep, t_next], rep.boot[ep])
+    return dict(obs=rep.obs[ep, t], actions=rep.actions[ep, t],
+                mu=rep.mu[ep, t], sigma=rep.sigma[ep, t],
+                rewards=rep.rewards[ep, t], vtg_next=vtg_next,
+                truncated=rep.truncated[ep], final_obs=rep.final_obs[ep],
+                is_last=~has_next, ep=ep, t=t)
+
+
+def scatter_vtg(rep: Replay, ep, t, new_vtg, new_boot=None) -> Replay:
+    """Write back lazily-refreshed retrace values for sampled experiences
+    (korali updateExperienceMetadata equivalent).  ``new_boot`` refreshes the
+    truncated-state bootstrap V(s_T) for the touched episodes."""
+    rep = rep.replace(vtg=rep.vtg.at[ep, t].set(new_vtg.astype(rep.vtg.dtype)))
+    if new_boot is not None:
+        rep = rep.replace(boot=rep.boot.at[ep].set(new_boot.astype(rep.boot.dtype)))
+    return rep
 
 
 def num_experiences(rep: Replay) -> jax.Array:

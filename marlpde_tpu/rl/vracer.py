@@ -12,10 +12,16 @@ Replay" (ICML 2019), with the configuration surface the reference drivers use
   * adaptive beta mixing toward the target off-policy fraction D=0.1
   * cutoff annealing c = c0 / (1 + anneal_rate * n_updates)
 
+Episode-end semantics follow the reference (burger_environment.py:198-204):
+time-limit / early-stop ends are "Terminal" (no value bootstrap), numeric
+blowups are "Truncated" and bootstrap V-trace tails from V(s_T).
+
 Deviations from korali (documented design choices):
-  * minibatches are whole episodes (K episodes/update) rather than 256 iid
-    experiences — V-trace tails are then exact under the current network
-    instead of korali's lazily-refreshed stored estimators; TPU-friendly.
+  * default minibatches are whole episodes (K episodes/update) rather than
+    256 iid experiences — V-trace tails are then exact under the current
+    network instead of korali's lazily-refreshed stored estimators;
+    TPU-friendly.  Set ``minibatch_mode="experience"`` for korali's
+    uniform-experience sampler with stored (lazily refreshed) retrace values.
   * optimizer is optax.adam with the driver's learning rate.
 """
 
@@ -46,6 +52,12 @@ class VracerConfig:
     width: int = 128
     n_hidden: int = 2
     mini_batch_episodes: int = 2
+    # korali-style uniform-experience sampling (Mini Batch Size = 256,
+    # run-vracer-burger.py:132) with stored, lazily-refreshed retrace values —
+    # vs the default "episode" mode (whole-episode minibatches, exact V-trace
+    # tails under the current network).
+    minibatch_mode: str = "episode"        # 'episode' | 'experience'
+    mini_batch_size: int = 256
     experiences_between_updates: float = 0.5
     replay_start_experiences: int = 20000
     replay_max_experiences: int = 100000
@@ -78,6 +90,12 @@ class VracerConfig:
     # statistics (squaring a ~1e35 pre-blowup field overflows f32 and turns
     # the normalizer std into NaN for good).  Set to inf to disable.
     obs_stat_bound: float = 1e6
+    # Acting-path policy forward: 'xla' (flax apply) or 'pallas' (the fused
+    # VMEM-resident MLP kernel, ops/mlp_pallas.py — requires n_hidden=2).
+    # Only act/act_deterministic/policy_apply dispatch on this; the loss
+    # functions always differentiate the flax apply.  Parity is tested in
+    # tests/test_pallas.py::TestPolicyImplParity.
+    policy_impl: str = "xla"               # 'xla' | 'pallas'
 
     @property
     def replay_capacity_episodes(self) -> int:
@@ -128,7 +146,16 @@ def _prep_obs(cfg: VracerConfig, ts: TrainState, obs):
 
 def policy_apply(cfg: VracerConfig, ts: TrainState, obs):
     """obs (..., obs_dim) -> (V, mu, sigma)."""
-    return make_net(cfg).apply(ts.params, _prep_obs(cfg, ts, obs))
+    x = _prep_obs(cfg, ts, obs)
+    if cfg.policy_impl == "pallas":
+        assert cfg.n_hidden == 2, "mlp_pallas kernel is specialized to n_hidden=2"
+        from marlpde_tpu.ops import mlp_pallas
+        lead = obs.shape[:-1]
+        V, mu, sigma = mlp_pallas.mlp_forward(
+            x.reshape(-1, cfg.obs_dim), ts.params, init_noise=cfg.init_noise)
+        return (V.reshape(lead), mu.reshape(lead + (cfg.act_dim,)),
+                sigma.reshape(lead + (cfg.act_dim,)))
+    return make_net(cfg).apply(ts.params, x)
 
 
 def act(cfg: VracerConfig, ts: TrainState, obs, key):
@@ -166,18 +193,30 @@ def observe_episodes(cfg: VracerConfig, ts: TrainState, batch) -> TrainState:
     return ts.replace(obs_stats=new_obs, rew_stats=new_rew)
 
 
-def _vtrace(V, rewards, rho, mask, gamma):
+def _vtrace(V, rewards, rho, mask, gamma, bootstrap=None):
     """V-trace targets along T with clipped one-sample IS weights.
 
-    V, rewards, rho, mask: (..., T).  Terminal (no bootstrap) at episode end —
-    the reference episodes end "Terminal" (burger_environment.py:204).
+    V, rewards, rho, mask: (..., T).  Episode-end semantics follow the
+    reference (burger_environment.py:198-204): a normal (time-limit or
+    early-stop) end is "Terminal" — no bootstrap; a numeric-blowup end is
+    "Truncated" — korali bootstraps the tail from V(s_T).  ``bootstrap``
+    (..., broadcastable against V[..., 0]) carries that V(s_T) value,
+    already zeroed for non-truncated episodes; it is added as the successor
+    value at each episode's last valid step.
     Returns (vtg, adv): targets and advantages r_t + gamma*vtg_{t+1} - V_t.
     """
-    rho_bar = jnp.minimum(rho, 1.0)
+    rewards = rewards.astype(V.dtype)
+    mask = mask.astype(V.dtype)
+    rho_bar = jnp.minimum(rho, 1.0).astype(V.dtype)
     T = V.shape[-1]
     V_next = jnp.concatenate([V[..., 1:], jnp.zeros_like(V[..., :1])], axis=-1)
     next_valid = jnp.concatenate([mask[..., 1:], jnp.zeros_like(mask[..., :1])], axis=-1)
     V_next = V_next * next_valid
+    if bootstrap is not None:
+        # 1 exactly at the last valid step of each episode
+        last_valid = mask * (1.0 - next_valid)
+        bootstrap = bootstrap.astype(V.dtype)
+        V_next = V_next + (last_valid * bootstrap[..., None]).astype(V.dtype)
     delta = rho_bar * (rewards + gamma * V_next - V)
 
     def body(carry, xs):
@@ -194,7 +233,10 @@ def _vtrace(V, rewards, rho, mask, gamma):
     corr = jnp.moveaxis(corr_rev[::-1], 0, -1)      # vtg_t - V_t
     vtg = V + corr
     vtg_next = jnp.concatenate([vtg[..., 1:], jnp.zeros_like(vtg[..., :1])], axis=-1)
-    adv = rewards + gamma * vtg_next * next_valid - V
+    vtg_next = vtg_next * next_valid
+    if bootstrap is not None:
+        vtg_next = vtg_next + last_valid * bootstrap[..., None]
+    adv = rewards + gamma * vtg_next - V
     return vtg, adv
 
 
@@ -226,6 +268,19 @@ def _loss(cfg: VracerConfig, params, ts: TrainState, batch, cutoff):
     rho = jnp.exp(log_ratio)
     near = (rho > 1.0 / cutoff) & (rho < cutoff)
 
+    # Truncated-episode bootstrap (burger_environment.py:198-204): blowup ends
+    # bootstrap the V-trace tail from V(s_T).  The pre-blowup final obs can be
+    # astronomically large or NaN; sanitize before the network (the clip in
+    # _prep_obs handles magnitude, nan_to_num handles NaN).
+    bootstrap = None
+    if "final_obs" in batch:
+        fin = jnp.nan_to_num(batch["final_obs"], nan=0.0,
+                             posinf=cfg.obs_stat_bound,
+                             neginf=-cfg.obs_stat_bound)
+        V_fin, _, _ = net.apply(params, _prep_obs(cfg, ts, fin))  # (K, na)
+        trunc = batch["truncated"].astype(V_fin.dtype)            # (K,)
+        bootstrap = jax.lax.stop_gradient(V_fin) * trunc[..., None]
+
     mask = batch["mask"][..., None]                # (K, T, 1) broadcast over agents
     # time axis is 1; move to last for the scan
     Vt = jnp.moveaxis(V, 1, -1)
@@ -233,7 +288,8 @@ def _loss(cfg: VracerConfig, params, ts: TrainState, batch, cutoff):
     rhot = jnp.moveaxis(rho, 1, -1)
     mt = jnp.moveaxis(jnp.broadcast_to(mask, rho.shape), 1, -1)
     vtg, adv = _vtrace(jax.lax.stop_gradient(Vt), rt,
-                       jax.lax.stop_gradient(rhot), mt, cfg.gamma)
+                       jax.lax.stop_gradient(rhot), mt, cfg.gamma,
+                       bootstrap=bootstrap)
     vtg = jnp.moveaxis(vtg, -1, 1)
     adv = jnp.moveaxis(adv, -1, 1)
 
@@ -255,6 +311,112 @@ def _loss(cfg: VracerConfig, params, ts: TrainState, batch, cutoff):
                    frac_far=frac_far, mean_rho=jnp.sum(w * rho) / denom,
                    mean_sigma=sigma.mean(), mean_V=jnp.sum(w * V) / denom)
     return loss, metrics
+
+
+def _scaled_rewards(cfg: VracerConfig, ts: TrainState, rewards):
+    rewards = jnp.maximum(rewards, cfg.reward_floor)
+    if cfg.reward_rescaling:
+        rewards = running_stats.scale(ts.rew_stats, rewards)
+    if cfg.multi_agent_relationship == "cooperation":
+        rewards = jnp.broadcast_to(rewards.mean(-1, keepdims=True), rewards.shape)
+    return rewards
+
+
+def _sanitized_final_V(cfg: VracerConfig, params, ts: TrainState, final_obs):
+    """V(s_T) for the truncated-state bootstrap; pre-blowup observations can
+    be NaN/huge, so sanitize before the network."""
+    fin = jnp.nan_to_num(final_obs, nan=0.0, posinf=cfg.obs_stat_bound,
+                         neginf=-cfg.obs_stat_bound)
+    V_fin, _, _ = make_net(cfg).apply(params, _prep_obs(cfg, ts, fin))
+    return V_fin
+
+
+def retrace_values(cfg: VracerConfig, ts: TrainState, batch):
+    """Initial retrace values for freshly collected episodes (experience
+    minibatch mode) — korali computes these at experience insertion.  The
+    batch is on-policy at insert time, so all IS weights are 1.
+
+    batch: episode tensors (B, T, na, ...) from collect_episodes.
+    Returns (vtg (B, T, na), boot (B, na)) in scaled-reward units.
+    """
+    V, _, _ = make_net(cfg).apply(ts.params, _prep_obs(cfg, ts, batch["obs"]))
+    rewards = _scaled_rewards(cfg, ts, batch["rewards"])
+    boot = (_sanitized_final_V(cfg, ts.params, ts, batch["final_obs"])
+            * batch["truncated"].astype(V.dtype)[..., None])
+    mask = jnp.broadcast_to(batch["mask"][..., None], rewards.shape)
+    vtg, _ = _vtrace(jnp.moveaxis(V, 1, -1), jnp.moveaxis(rewards, 1, -1),
+                     jnp.ones_like(jnp.moveaxis(rewards, 1, -1)),
+                     jnp.moveaxis(mask, 1, -1), cfg.gamma, bootstrap=boot)
+    return jnp.moveaxis(vtg, -1, 1), boot
+
+
+def _loss_experience(cfg: VracerConfig, params, ts: TrainState, batch, cutoff):
+    """Per-experience VRACER loss over n iid sampled experiences (korali's
+    uniform minibatch).  The one-step value target uses the replay's stored
+    retrace value of the successor experience (batch["vtg_next"]), korali's
+    lazily-refreshed estimator; returns refreshed values for write-back."""
+    net = make_net(cfg)
+    V, mu, sigma = net.apply(params, _prep_obs(cfg, ts, batch["obs"]))  # (n, na)
+    rewards = _scaled_rewards(cfg, ts, batch["rewards"])
+
+    logp = D.joint_log_prob(batch["actions"], mu, sigma,
+                            cfg.action_low, cfg.action_high)
+    logp_b = D.joint_log_prob(batch["actions"], batch["mu"], batch["sigma"],
+                              cfg.action_low, cfg.action_high)
+    log_ratio = jnp.clip(logp - logp_b, -20.0, 20.0)
+    if cfg.multi_agent_correlation and cfg.num_agents > 1:
+        log_ratio = jnp.broadcast_to(
+            jnp.clip(log_ratio.sum(-1, keepdims=True), -20.0, 20.0),
+            log_ratio.shape)
+    rho = jnp.exp(log_ratio)
+    near = (rho > 1.0 / cutoff) & (rho < cutoff)
+
+    rho_bar = jax.lax.stop_gradient(jnp.minimum(rho, 1.0))
+    Vsg = jax.lax.stop_gradient(V)
+    td = rewards + cfg.gamma * batch["vtg_next"] - Vsg
+    vtarget = Vsg + rho_bar * td           # refreshed retrace value (korali)
+    adv = td
+
+    n_tot = jnp.asarray(rho.size, V.dtype)
+    v_loss = 0.5 * jnp.sum((V - vtarget) ** 2) / n_tot
+    pg_w = jax.lax.stop_gradient(jnp.minimum(rho, cutoff) * adv * near)
+    pg_loss = -jnp.sum(pg_w * logp) / n_tot
+    kl = D.kl_normal(batch["mu"], batch["sigma"], mu, sigma)
+    far = jnp.asarray(~near, kl.dtype)
+    kl_loss = jnp.sum(far * kl) / n_tot
+
+    loss = cfg.value_coef * v_loss + ts.beta * pg_loss + (1.0 - ts.beta) * kl_loss
+    # refreshed truncated-state bootstrap for the touched episodes
+    new_boot = (_sanitized_final_V(cfg, params, ts, batch["final_obs"])
+                * batch["truncated"].astype(V.dtype)[..., None])
+    metrics = dict(loss=loss, v_loss=v_loss, pg_loss=pg_loss, kl_loss=kl_loss,
+                   frac_far=far.mean(), mean_rho=rho.mean(),
+                   mean_sigma=sigma.mean(), mean_V=V.mean())
+    return loss, (metrics, vtarget, jax.lax.stop_gradient(new_boot))
+
+
+def update_experience(cfg: VracerConfig, ts: TrainState, rep, key):
+    """One gradient step on a uniform-experience minibatch, with retrace
+    write-back (korali sampler semantics).  Returns (ts, rep, metrics)."""
+    from marlpde_tpu.rl import replay as replay_mod
+    cutoff = cfg.cutoff_scale / (1.0 + cfg.annealing_rate *
+                                 ts.n_updates.astype(jnp.float32))
+    batch = replay_mod.sample_experiences(rep, key, cfg.mini_batch_size)
+    grads, (metrics, new_vtg, new_boot) = jax.grad(
+        lambda p: _loss_experience(cfg, p, ts, batch, cutoff),
+        has_aux=True)(ts.params)
+    updates, opt_state = make_optimizer(cfg).update(grads, ts.opt_state, ts.params)
+    params = optax.apply_updates(ts.params, updates)
+    nu = jnp.asarray(cfg.lr * 10.0, ts.beta.dtype)
+    beta = jnp.where(metrics["frac_far"] > cfg.offpolicy_target,
+                     (1.0 - nu) * ts.beta, (1.0 - nu) * ts.beta + nu)
+    beta = jnp.clip(beta, 0.05, 1.0)
+    rep = replay_mod.scatter_vtg(rep, batch["ep"], batch["t"],
+                                 new_vtg, new_boot)
+    metrics["beta"] = beta
+    metrics["cutoff"] = cutoff
+    return ts.replace(params=params, opt_state=opt_state, beta=beta,
+                      n_updates=ts.n_updates + 1), rep, metrics
 
 
 def update(cfg: VracerConfig, ts: TrainState, batch):

@@ -69,6 +69,14 @@ def build_parser():
     p.add_argument("--mac", action="store_true",
                    help="Multi Agent Correlation: joint (product) importance "
                         "weight across agents (run-vracer-burger-marl.py:113)")
+    p.add_argument("--minibatch", type=str, default="episode",
+                   choices=["episode", "experience"],
+                   help="minibatch sampler: whole episodes (TPU-native "
+                        "default) or korali's 256-uniform-experience mode "
+                        "with stored retrace values")
+    p.add_argument("--mbsize", type=int, default=256,
+                   help='korali e["Solver"]["Mini Batch Size"] '
+                        "(run-vracer-burger.py:132; experience mode only)")
     p.add_argument("--expperu", type=float, default=0.5,
                    help="Experiences Between Policy Updates "
                         "(run-vracer-burger.py:32); replay reuse = 256/expperu")
@@ -99,6 +107,19 @@ def build_parser():
     p.add_argument("--fused", action="store_true",
                    help="fuse each generation (collect+replay+updates) into "
                         "one XLA dispatch — fastest on TPU")
+    p.add_argument("--fast", type=str, default="auto",
+                   choices=["auto", "pallas", "off"],
+                   help="rollout backend for qualifying Burgers configs "
+                        "(registry.fast_burger_ok): whole-batch jnp (auto), "
+                        "fused Pallas kernel (TPU), or the general vmapped "
+                        "env (off)")
+    p.add_argument("--policy-impl", type=str, default="xla",
+                   choices=["xla", "pallas"],
+                   help="acting-path policy forward: flax/XLA or the fused "
+                        "VMEM-resident MLP kernel (ops/mlp_pallas.py, TPU)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 MXU passes for all f32 matmuls "
+                        "(jax_default_matmul_precision=bfloat16)")
     p.add_argument("--save-episodes", action="store_true",
                    help='dump training episodes to <result>/episodes/ '
                         '(s["Custom Settings"]["Save Episode"])')
@@ -134,6 +155,8 @@ def make_workload(args):
             w = "burger"
         elif kw["num_agents"] > 1 and w != "burger-jax":
             w = "burger"
+        if w != "burger-jax":
+            kw["fast"] = args.fast
         env = registry.make_env(w, n_dns=args.ndns, **kw)
         gamma = args.gamma if args.gamma is not None else 1.0
     elif w == "coupled-burger":
@@ -181,11 +204,13 @@ def make_workload(args):
         env, width=args.width, gamma=gamma, lr=args.lr, init_noise=args.iex,
         multi_agent_relationship=args.mar,
         multi_agent_correlation=args.mac,
+        policy_impl=args.policy_impl,
+        minibatch_mode=args.minibatch, mini_batch_size=args.mbsize,
         experiences_between_updates=args.expperu,
         replay_start_experiences=20000 * args.episodelength // 500,
         replay_max_experiences=100000 * args.episodelength // 500)
     tc = trainer.TrainerConfig(num_envs=args.numenvs, max_experiences=args.NE,
-                               reuse_ratio=256.0 / args.expperu,
+                               reuse_ratio=args.mbsize / args.expperu,
                                seed=args.seed, fused=args.fused,
                                testing_frequency=args.testfreq,
                                testing_episodes=args.testepisodes)
@@ -214,6 +239,9 @@ def run_cmaes(args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.bf16:
+        import jax
+        jax.config.update("jax_default_matmul_precision", "bfloat16")
     if args.workload == "cmaes-burger":
         return run_cmaes(args)
     from marlpde_tpu.train import trainer
@@ -292,25 +320,52 @@ def main(argv=None):
                 np.mean(cmp_["baseline_cumreward"]))
             summary["controlled_cumreward"] = float(
                 np.mean(cmp_["controlled_cumreward"]))
+        elif args.workload == "ks":
+            # KS testing branch (ks_environment.py:122-183): controlled-LES
+            # npz dump, DNS SGS terms, uncontrolled baseline, makePlot
+            from marlpde_tpu.analysis import evaluation
+            cmp_ = evaluation.ks_testing(
+                env.cfg, env.consts, rl_cfg, ts, out_dir=result_dir,
+                run_tag=args.run, key=jax.random.key(args.seed))
+            summary["baseline_cumreward"] = float(
+                np.mean(cmp_["baseline_cumreward"]))
+            summary["controlled_cumreward"] = float(
+                np.mean(cmp_["controlled_cumreward"]))
+        elif args.workload in ("diffusion-simple", "diffusion-error",
+                               "diffusion-stencil3", "advection-simple",
+                               "laplace"):
+            # diffusion_environment_simple.py:76-81 testing plots
+            from marlpde_tpu.analysis import evaluation
+            evaluation.simple_env_testing(env, rl_cfg, ts, out_dir=result_dir,
+                                          key=jax.random.key(args.seed))
         print(json.dumps(summary))
         return
 
-    def save_cb(gen, ts, rep, history):
-        if gen % 25 == 0:   # File Output Frequency = 25 (run-vracer-burger.py:199)
-            ckpt.save_train_state(result_dir, ts, history)
+    # File Output Frequency = 25 (run-vracer-burger.py:199); trainer writes
+    # train state + history + RNG/counter meta (+ replay when serialized)
+    tc = dataclasses.replace(tc, checkpoint_dir=result_dir,
+                             serialize_replay=args.serialize_replay)
 
-    init_ts = init_history = None
+    init_ts = init_history = init_replay = init_key = init_counters = None
     if args.resume:
         init_ts = ckpt.load_train_state(result_dir, rl_cfg)
         init_history = ckpt.load_history(result_dir)
+        init_replay = ckpt.load_replay(result_dir,
+                                       trainer.make_replay(env, rl_cfg))
+        meta = ckpt.load_meta(result_dir)
+        if meta is not None:
+            init_key = meta["key"]
+            init_counters = {k: meta[k]
+                             for k in ("gen", "total_exp", "episode_base")}
         if init_ts is not None:
-            print(f"[run] continuing from previous run in {result_dir}")
+            print(f"[run] continuing from previous run in {result_dir} "
+                  f"(replay={'yes' if init_replay is not None else 'no'}, "
+                  f"meta={'yes' if meta is not None else 'no'})")
 
-    ts, rep, history = trainer.train(env, rl_cfg, tc, callback=save_cb,
-                                     init_ts=init_ts, init_history=init_history)
-    ckpt.save_train_state(result_dir, ts, history)
-    if args.serialize_replay:
-        ckpt.save_replay(result_dir, rep)
+    ts, rep, history = trainer.train(env, rl_cfg, tc,
+                                     init_ts=init_ts, init_history=init_history,
+                                     init_replay=init_replay, init_key=init_key,
+                                     init_counters=init_counters)
     print(json.dumps({"workload": args.workload,
                       "final_mean_return": history["mean_return"][-1],
                       "generations": history["gen"][-1]}))

@@ -51,6 +51,14 @@ class BurgerConfig:
     cs: float = 0.1             # static Smagorinsky constant
     filter_state_quirk: bool = False  # replicate Burger.py:369-370 aliasing (see closures.py)
     scheme: str = "abcn"        # 'abcn' | 'fd' | 'rk3' | 'cfd_rk3'
+    # Altered-coefficients linear symbol (Burger.py:160-175 __setup_fourier):
+    # l = -c0 - c1*i*k + (1+c2)*k^2 + c3*i*k^3 - (1+c4)*k^4 instead of nu*k^2.
+    # NOTE the reference computes self.l in every Burgers variant but never
+    # wires it into the stepping (the ABCN update at Burger.py:486-489 uses
+    # self.nu*self.k2 directly — vestigial code inherited from KS.py:112-124
+    # where the symbol IS used).  Here the override is functional: the ABCN
+    # Crank-Nicolson factor becomes C = 0.5*dt*l with the complex symbol.
+    coeffs: Optional[tuple] = None
     fft_impl: str = "fft"       # 'fft' | 'dft': DFT-as-matmul rides the MXU and
                                 # wins for the batched tiny transforms (N <= ~256)
                                 # the LES envs run; numerically identical to fp
@@ -147,6 +155,15 @@ def stochastic_forcing(cfg: BurgerConfig, state: BurgerState):
     return jnp.sum(amp[..., None] * jnp.cos(phase), axis=-2)
 
 
+def linear_symbol(coeffs, k):
+    """Altered-coefficients linear symbol (Burger.py:171-175 / KS.py:120-124):
+    l = -c0 - c1*i*k + (1+c2)*k^2 + c3*i*k^3 - (1+c4)*k^4, complex128."""
+    c = np.asarray(coeffs, np.float64)
+    k = np.asarray(k, np.float64)
+    return (-c[0] - c[1] * 1j * k + (1 + c[2]) * k**2
+            + c[3] * 1j * k**3 - (1 + c[4]) * k**4)
+
+
 def total_forcing_spectrum(cfg: BurgerConfig, state: BurgerState,
                            action_field: Optional[jax.Array]):
     """Assemble the RHS forcing spectrum, replicating the reference's precedence:
@@ -200,7 +217,12 @@ def step(cfg: BurgerConfig, state: BurgerState,
         # Adams-Bashforth(2) nonlinear / Crank-Nicolson viscous (Burger.py:482-489)
         k1 = jnp.asarray(cfg.grid.k1, v.dtype)
         k2 = jnp.asarray(cfg.grid.k2, v.dtype)
-        C = -0.5 * k2 * state.nu[..., None] * cfg.dt
+        if cfg.coeffs is None:
+            C = -0.5 * k2 * state.nu[..., None] * cfg.dt
+        else:
+            # altered linear symbol (Burger.py:171-175); see BurgerConfig.coeffs
+            C = 0.5 * cfg.dt * jnp.asarray(
+                linear_symbol(cfg.coeffs, np.asarray(cfg.grid.k)), v.dtype)
         Fn = k1 * cfg._fft(0.5 * state.u * state.u)
         v_new = ((1.0 - C) * v - 0.5 * cfg.dt * (3.0 * Fn - state.fn_old) + cfg.dt * F) / (1.0 + C)
         u_new = cfg._irfft_real(v_new)

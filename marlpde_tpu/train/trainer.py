@@ -41,6 +41,13 @@ class TrainerConfig:
     # reward clears a threshold (burger_fd_environment.py:211 saves > -1.0).
     save_episodes_dir: Optional[str] = None
     save_episodes_threshold: float = -np.inf
+    # korali File Output {Enabled, Frequency, Path} (run-vracer-burger.py:
+    # 198-201): periodic full checkpoints (train state + history + RNG/counter
+    # meta, + replay when serialize_replay — korali "Experience Replay
+    # Serialize").  A killed run resumed from these continues bitwise.
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 25
+    serialize_replay: bool = False
     # fuse one whole generation (collect + replay insert + normalizer update +
     # all gradient updates) into a single jitted program: 1 dispatch per
     # generation instead of 3 + updates.  Dispatch latency dominates on
@@ -57,34 +64,135 @@ def default_rl_config(env: Env, **overrides) -> vracer.VracerConfig:
     return vracer.VracerConfig(**kw)
 
 
+def make_replay(env: Env, rl_cfg: vracer.VracerConfig):
+    """The trainer's replay layout (shared with checkpoint load templates)."""
+    return replay_mod.init(rl_cfg.replay_capacity_episodes,
+                           env.episode_length, env.num_agents,
+                           env.obs_dim, env.act_dim)
+
+
+def updates_per_generation(rl_cfg: vracer.VracerConfig, tc: TrainerConfig,
+                           T: int) -> int:
+    """korali economics: 1 update per `Experiences Between Policy Updates`
+    new experiences, each consuming `Mini Batch Size` samples; replay reuse =
+    mini_batch / exp_between.  Episode-mode minibatches are K*T experiences."""
+    exp_per_update = (rl_cfg.mini_batch_size
+                      if rl_cfg.minibatch_mode == "experience"
+                      else rl_cfg.mini_batch_episodes * T)
+    return int(min(tc.max_updates_per_gen,
+                   max(1, tc.num_envs * T * tc.reuse_ratio / exp_per_update)))
+
+
+def build_fused_generation(env: Env, rl_cfg: vracer.VracerConfig,
+                           tc: TrainerConfig, upd_per_gen: int):
+    """One whole training generation (collect + replay insert + normalizer
+    update + all gradient updates) as a single jitted program: 1 dispatch per
+    generation instead of 3 + updates.  Dispatch latency dominates on
+    high-latency backends (the axon TPU tunnel).  RNG-key usage replicates the
+    unfused loop exactly, so both paths are bitwise identical
+    (tests/test_rl.py::TestFusedGeneration).  This is also the path bench.py
+    times in BENCH_MODE=train."""
+    exp_mode = rl_cfg.minibatch_mode == "experience"
+
+    @jax.jit
+    def fused_generation(ts_, rep_, k_c, k_u, episode_base_, consts):
+        traj_, final_ = collect_episodes(
+            env, rl_cfg, ts_, k_c, tc.num_envs, episode_base_, consts=consts,
+            record_fields=tc.save_episodes_dir is not None)
+        if exp_mode:
+            ts_ = vracer.observe_episodes(rl_cfg, ts_, traj_)
+            vtg_, boot_ = vracer.retrace_values(rl_cfg, ts_, traj_)
+            rep_ = replay_mod.add_episodes(rep_, dict(traj_, vtg=vtg_,
+                                                      boot=boot_))
+        else:
+            rep_ = replay_mod.add_episodes(rep_, traj_)
+            ts_ = vracer.observe_episodes(rl_cfg, ts_, traj_)
+
+        def run_updates(operand):
+            t0_, r0_, k0 = operand
+
+            def body(carry, _):
+                t_, r_, kk = carry
+                kk, ki = jax.random.split(kk)
+                if exp_mode:
+                    t_, r_, m = vracer.update_experience(rl_cfg, t_, r_, ki)
+                else:
+                    kb, _ = jax.random.split(ki)
+                    batch = replay_mod.sample_episodes(
+                        r_, kb, rl_cfg.mini_batch_episodes)
+                    t_, m = vracer.update(rl_cfg, t_, batch)
+                return (t_, r_, kk), m
+
+            (t1, r1, _), ms = jax.lax.scan(body, (t0_, r0_, k0), None,
+                                           length=upd_per_gen)
+            return (t1, r1), jax.tree.map(lambda a: a[-1], ms)
+
+        mshape = jax.eval_shape(run_updates, (ts_, rep_, k_u))[1]
+
+        def skip_updates(operand):
+            t0_, r0_, _ = operand
+            return (t0_, r0_), jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), mshape)
+
+        did = rep_.filled >= rl_cfg.replay_start_episodes
+        (ts_, rep_), metrics_ = jax.lax.cond(did, run_updates, skip_updates,
+                                             (ts_, rep_, k_u))
+        stats = dict(
+            mean_return=final_.cum_reward.reshape(tc.num_envs, -1).mean(),
+            ep_len=traj_["mask"].sum(1).mean(),
+            n_upd=jnp.where(did, upd_per_gen, 0))
+        return ts_, rep_, traj_, final_, metrics_, stats
+
+    return fused_generation
+
+
 def train(env: Env, rl_cfg: Optional[vracer.VracerConfig] = None,
           tc: TrainerConfig = TrainerConfig(), verbose: bool = True,
-          callback=None, init_ts=None, init_history=None):
+          callback=None, init_ts=None, init_history=None, init_replay=None,
+          init_key=None, init_counters: Optional[dict] = None):
     """Run training; returns (train_state, replay, history dict).
 
-    ``init_ts``/``init_history``: resume from a checkpoint (the korali
-    e.loadState equivalent, run-vracer-burger.py:59-62); experiences counting
-    continues from the restored history."""
+    Resume (the korali e.loadState equivalent, run-vracer-burger.py:59-62):
+    ``init_ts``/``init_history`` restore the learner and curves;
+    ``init_replay`` the experience buffer (korali Experience Replay
+    Serialize); ``init_key``/``init_counters`` (dict with gen / total_exp /
+    episode_base, from checkpoint.load_meta) the RNG stream and counters — a
+    killed-and-resumed run then continues bitwise-identically.  Without
+    meta, counters fall back to the restored history (RNG restarts)."""
     rl_cfg = rl_cfg or default_rl_config(env)
-    key = jax.random.key(tc.seed)
-    key, k_init = jax.random.split(key)
-    ts = init_ts if init_ts is not None else vracer.init_train(rl_cfg, k_init)
-    rep = replay_mod.init(rl_cfg.replay_capacity_episodes, env.episode_length,
-                          env.num_agents, env.obs_dim, env.act_dim)
+    key = init_key if init_key is not None else jax.random.key(tc.seed)
+    if init_ts is None:
+        key, k_init = jax.random.split(key)
+        ts = vracer.init_train(rl_cfg, k_init)
+    elif init_key is None:
+        key, _ = jax.random.split(key)   # keep the legacy resume stream
+        ts = init_ts
+    else:
+        ts = init_ts
+
+    rep = init_replay if init_replay is not None else make_replay(env, rl_cfg)
 
     collect = jax.jit(lambda ts_, key_, base, consts: collect_episodes(
-        env, rl_cfg, ts_, key_, tc.num_envs, base, consts=consts))
+        env, rl_cfg, ts_, key_, tc.num_envs, base, consts=consts,
+        record_fields=tc.save_episodes_dir is not None))
     collect_det = jax.jit(lambda ts_, key_, base, consts: collect_episodes(
         env, rl_cfg, ts_, key_, tc.testing_episodes, base, deterministic=True,
         consts=consts))
     add = jax.jit(replay_mod.add_episodes)
     observe = jax.jit(lambda ts_, b: vracer.observe_episodes(rl_cfg, ts_, b))
+    exp_mode = rl_cfg.minibatch_mode == "experience"
+    retrace = jax.jit(lambda ts_, b: vracer.retrace_values(rl_cfg, ts_, b))
 
     @jax.jit
     def do_update(ts_, rep_, key_):
         kb, _ = jax.random.split(key_)
         batch = replay_mod.sample_episodes(rep_, kb, rl_cfg.mini_batch_episodes)
-        return vracer.update(rl_cfg, ts_, batch)
+        ts2, metrics = vracer.update(rl_cfg, ts_, batch)
+        return ts2, rep_, metrics
+
+    @jax.jit
+    def do_update_exp(ts_, rep_, key_):
+        return vracer.update_experience(rl_cfg, ts_, rep_, key_)
 
     from marlpde_tpu.utils.profiling import Throughput
     throughput = Throughput()
@@ -93,57 +201,19 @@ def train(env: Env, rl_cfg: Optional[vracer.VracerConfig] = None,
         updates=[], metrics=[], test_return=[], wall_time=[],
         env_steps_per_s=[])
     history.setdefault("env_steps_per_s", [])
-    total_exp = history["experiences"][-1] if history.get("experiences") else 0
-    episode_base = (history["gen"][-1] if history.get("gen") else 0) * tc.num_envs
-    gen = history["gen"][-1] if history.get("gen") else 0
+    if init_counters is not None:
+        gen = init_counters["gen"]
+        total_exp = init_counters["total_exp"]
+        episode_base = init_counters["episode_base"]
+    else:
+        total_exp = history["experiences"][-1] if history.get("experiences") else 0
+        episode_base = (history["gen"][-1] if history.get("gen") else 0) * tc.num_envs
+        gen = history["gen"][-1] if history.get("gen") else 0
     t0 = time.time()
     T = env.episode_length
     new_exp_per_gen = tc.num_envs * T
-    upd_per_gen = int(min(
-        tc.max_updates_per_gen,
-        max(1, new_exp_per_gen * tc.reuse_ratio
-            / (rl_cfg.mini_batch_episodes * T))))
-
-    @jax.jit
-    def fused_generation(ts_, rep_, k_c, k_u, episode_base_, consts):
-        """One whole generation in one XLA program.  RNG-key usage replicates
-        the unfused loop exactly, so both paths are bitwise identical."""
-        traj_, final_ = collect_episodes(env, rl_cfg, ts_, k_c, tc.num_envs,
-                                         episode_base_, consts=consts)
-        rep_ = replay_mod.add_episodes(rep_, traj_)
-        ts_ = vracer.observe_episodes(rl_cfg, ts_, traj_)
-
-        def run_updates(operand):
-            t0_, k0 = operand
-
-            def body(carry, _):
-                t_, kk = carry
-                kk, ki = jax.random.split(kk)
-                kb, _ = jax.random.split(ki)
-                batch = replay_mod.sample_episodes(
-                    rep_, kb, rl_cfg.mini_batch_episodes)
-                t_, m = vracer.update(rl_cfg, t_, batch)
-                return (t_, kk), m
-
-            (t1, _), ms = jax.lax.scan(body, (t0_, k0), None,
-                                       length=upd_per_gen)
-            return t1, jax.tree.map(lambda a: a[-1], ms)
-
-        mshape = jax.eval_shape(run_updates, (ts_, k_u))[1]
-
-        def skip_updates(operand):
-            t0_, _ = operand
-            return t0_, jax.tree.map(
-                lambda s: jnp.zeros(s.shape, s.dtype), mshape)
-
-        did = rep_.filled >= rl_cfg.replay_start_episodes
-        ts_, metrics_ = jax.lax.cond(did, run_updates, skip_updates,
-                                     (ts_, k_u))
-        stats = dict(
-            mean_return=final_.cum_reward.reshape(tc.num_envs, -1).mean(),
-            ep_len=traj_["mask"].sum(1).mean(),
-            n_upd=jnp.where(did, upd_per_gen, 0))
-        return ts_, rep_, traj_, final_, metrics_, stats
+    upd_per_gen = updates_per_generation(rl_cfg, tc, T)
+    fused_generation = build_fused_generation(env, rl_cfg, tc, upd_per_gen)
 
     while total_exp < tc.max_experiences:
         key, k_c, k_u = jax.random.split(key, 3)
@@ -157,18 +227,24 @@ def train(env: Env, rl_cfg: Optional[vracer.VracerConfig] = None,
             metrics = metrics if n_upd else {}
         else:
             traj, final = collect(ts, k_c, jnp.asarray(episode_base), env.consts)
-            rep = add(rep, traj)
-            ts = observe(ts, traj)
+            if exp_mode:
+                ts = observe(ts, traj)
+                vtg, boot = retrace(ts, traj)
+                rep = add(rep, dict(traj, vtg=vtg, boot=boot))
+            else:
+                rep = add(rep, traj)
+                ts = observe(ts, traj)
             episode_base += tc.num_envs
             total_exp += new_exp_per_gen
             gen += 1
 
             metrics = {}
             n_upd = 0
+            step_fn = do_update_exp if exp_mode else do_update
             if int(rep.filled) >= rl_cfg.replay_start_episodes:
                 for i in range(upd_per_gen):
                     k_u, k_i = jax.random.split(k_u)
-                    ts, metrics = do_update(ts, rep, k_i)
+                    ts, rep, metrics = step_fn(ts, rep, k_i)
                     n_upd += 1
 
         mean_ret = float(final.cum_reward.mean())
@@ -189,17 +265,34 @@ def train(env: Env, rl_cfg: Optional[vracer.VracerConfig] = None,
             keep = cum > tc.save_episodes_threshold
             if keep.any():
                 os.makedirs(tc.save_episodes_dir, exist_ok=True)
+                # reference save-episode content (burger_environment.py:
+                # 207-238): solved fields (sgs_u), cumulative spectra
+                # (sgs_Ektt), action history (sgs_actions), DNS pool indices
+                # (indeces) — plus the RL tensors
+                extra = {}
+                if "fields" in traj:
+                    extra["fields"] = np.asarray(traj["fields"])[keep]
+                if "ektt" in traj:
+                    extra["ektt"] = np.asarray(traj["ektt"])[keep]
+                if hasattr(final, "sidx"):
+                    extra["indeces"] = np.asarray(final.sidx)[keep]
                 np.savez_compressed(
                     os.path.join(tc.save_episodes_dir, f"episodes_gen{gen}.npz"),
                     actions=np.asarray(traj["actions"])[keep],
                     rewards=np.asarray(traj["rewards"])[keep],
                     obs=np.asarray(traj["obs"])[keep],
-                    cumreward=np.asarray(final.cum_reward)[keep])
+                    cumreward=np.asarray(final.cum_reward)[keep], **extra)
 
         if tc.testing_frequency and gen % tc.testing_frequency == 0:
             key, k_t = jax.random.split(key)
             ttraj, tfinal = collect_det(ts, k_t, jnp.asarray(0), env.consts)
             history["test_return"].append(float(tfinal.cum_reward.mean()))
+        if tc.checkpoint_dir and gen % tc.checkpoint_every == 0:
+            from marlpde_tpu.utils import checkpoint as ckpt
+            ckpt.save_train_state(tc.checkpoint_dir, ts, history)
+            ckpt.save_meta(tc.checkpoint_dir, key, gen, total_exp, episode_base)
+            if tc.serialize_replay:
+                ckpt.save_replay(tc.checkpoint_dir, rep)
         if verbose and gen % tc.log_every == 0:
             print(f"[trainer] gen {gen} exp {total_exp} return {mean_ret:.5f} "
                   f"eplen {ep_len:.1f} updates {n_upd} "
@@ -207,6 +300,12 @@ def train(env: Env, rl_cfg: Optional[vracer.VracerConfig] = None,
         if callback is not None:
             callback(gen, ts, rep, history)
 
+    if tc.checkpoint_dir:
+        from marlpde_tpu.utils import checkpoint as ckpt
+        ckpt.save_train_state(tc.checkpoint_dir, ts, history)
+        ckpt.save_meta(tc.checkpoint_dir, key, gen, total_exp, episode_base)
+        if tc.serialize_replay:
+            ckpt.save_replay(tc.checkpoint_dir, rep)
     return ts, rep, history
 
 

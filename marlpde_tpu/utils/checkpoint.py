@@ -1,12 +1,23 @@
 """Checkpoint/resume: the korali e.loadState / File Output equivalent
 (run-vracer-burger.py:59-62,196-201).
 
-Uses orbax-checkpoint when available; falls back to a simple msgpack+npz
-scheme otherwise.  Saved pieces: train state (params, optimizer, REFER beta,
-normalizer stats, update counter) and the training history.  Replay
-serialization (korali "Experience Replay Serialize") is supported via
-save_replay/load_replay — it is large, so it is opt-in like the reference's
-flag.
+A complete checkpoint restores training EXACTLY where it stopped — the korali
+semantics of `e.loadState(dir+'/latest')` with `Experience Replay
+Serialize=True` (run-vracer-burger.py:59-62,196).  Pieces:
+
+  * train state  — params, optimizer, REFER beta, normalizer stats, update
+                   counter (latest.pkl, or an orbax directory)
+  * history      — per-generation curves (history.json)
+  * meta         — the trainer RNG key and the gen / experiences / episode
+                   counters (meta.npz); restoring these makes a killed-and-
+                   resumed run bitwise-identical to an uninterrupted one
+  * replay       — the episode ring buffer (replay.npz), opt-in like korali's
+                   "Experience Replay Serialize" because it is large
+
+Backends: "pickle" (default — plain pickle + npz, robust for arbitrary
+pytrees incl. optax states) or "orbax" (orbax.checkpoint PyTreeCheckpointer,
+the multi-host-capable production path; restore needs `rl_cfg` to rebuild the
+pytree template).  Select per-call or via MARLPDE_CKPT_BACKEND.
 """
 
 from __future__ import annotations
@@ -14,27 +25,51 @@ from __future__ import annotations
 import json
 import os
 import pickle
+import shutil
 from typing import Optional
 
 import jax
 import numpy as np
 
 
+def _backend(backend: Optional[str]) -> str:
+    return backend or os.environ.get("MARLPDE_CKPT_BACKEND", "pickle")
+
+
 def _to_numpy(tree):
     return jax.tree.map(lambda a: np.asarray(a), tree)
 
 
-def save_train_state(path: str, ts, history: Optional[dict] = None):
+def save_train_state(path: str, ts, history: Optional[dict] = None,
+                     backend: Optional[str] = None):
     os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, "latest.pkl"), "wb") as f:
-        pickle.dump(_to_numpy(ts), f)
+    if _backend(backend) == "orbax":
+        import orbax.checkpoint as ocp
+        d = os.path.abspath(os.path.join(path, "latest_orbax"))
+        tmp = d + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ocp.PyTreeCheckpointer().save(tmp, _to_numpy(ts))
+        shutil.rmtree(d, ignore_errors=True)
+        os.replace(tmp, d)
+    else:
+        with open(os.path.join(path, "latest.pkl"), "wb") as f:
+            pickle.dump(_to_numpy(ts), f)
     if history is not None:
         with open(os.path.join(path, "history.json"), "w") as f:
             json.dump(history, f)
 
 
-def load_train_state(path: str, rl_cfg=None):
-    """Returns the restored TrainState or None if absent."""
+def load_train_state(path: str, rl_cfg=None, backend: Optional[str] = None):
+    """Returns the restored TrainState or None if absent.  The orbax backend
+    needs ``rl_cfg`` to rebuild the pytree template it restores into."""
+    odir = os.path.join(path, "latest_orbax")
+    if _backend(backend) == "orbax" and os.path.isdir(odir):
+        import orbax.checkpoint as ocp
+        from marlpde_tpu.rl import vracer
+        template = _to_numpy(vracer.init_train(rl_cfg, jax.random.key(0)))
+        ts = ocp.PyTreeCheckpointer().restore(os.path.abspath(odir),
+                                              item=template)
+        return jax.tree.map(lambda a: jax.numpy.asarray(a), ts)
     fname = os.path.join(path, "latest.pkl")
     if not os.path.exists(fname):
         return None
@@ -51,13 +86,35 @@ def load_history(path: str) -> Optional[dict]:
         return json.load(f)
 
 
+def save_meta(path: str, key, gen: int, total_exp: float, episode_base: int):
+    """Trainer RNG key + counters — what korali folds into its state file so a
+    resumed run continues the exact same stream (run-vracer-burger.py:59-62)."""
+    os.makedirs(path, exist_ok=True)
+    np.savez(os.path.join(path, "meta.npz"),
+             key=np.asarray(jax.random.key_data(key)),
+             gen=np.int64(gen), total_exp=np.float64(total_exp),
+             episode_base=np.int64(episode_base))
+
+
+def load_meta(path: str) -> Optional[dict]:
+    fname = os.path.join(path, "meta.npz")
+    if not os.path.exists(fname):
+        return None
+    d = np.load(fname)
+    return dict(key=jax.random.wrap_key_data(jax.numpy.asarray(d["key"])),
+                gen=int(d["gen"]), total_exp=float(d["total_exp"]),
+                episode_base=int(d["episode_base"]))
+
+
+_REPLAY_FIELDS = ("obs", "actions", "mu", "sigma", "rewards", "mask",
+                  "final_obs", "truncated", "vtg", "boot", "filled", "cursor")
+
+
 def save_replay(path: str, rep):
     os.makedirs(path, exist_ok=True)
     np.savez_compressed(os.path.join(path, "replay.npz"),
-                        **{k: np.asarray(v) for k, v in
-                           zip(("obs", "actions", "mu", "sigma", "rewards",
-                                "mask", "filled", "cursor"),
-                               jax.tree.leaves(rep))})
+                        **{k: np.asarray(getattr(rep, k))
+                           for k in _REPLAY_FIELDS})
 
 
 def load_replay(path: str, template):
@@ -65,6 +122,5 @@ def load_replay(path: str, template):
     if not os.path.exists(fname):
         return None
     data = np.load(fname)
-    names = ("obs", "actions", "mu", "sigma", "rewards", "mask", "filled", "cursor")
-    leaves = [jax.numpy.asarray(data[k]) for k in names]
-    return jax.tree.unflatten(jax.tree.structure(template), leaves)
+    return template.replace(**{k: jax.numpy.asarray(data[k])
+                               for k in _REPLAY_FIELDS})

@@ -109,6 +109,107 @@ class TestCheckpoint:
     def test_load_missing_returns_none(self, tmp_path):
         assert ckpt.load_train_state(str(tmp_path / "nope")) is None
 
+    def test_orbax_backend_roundtrip(self, tmp_path):
+        from marlpde_tpu.rl import vracer
+        cfg = vracer.VracerConfig(obs_dim=4, act_dim=2, width=8)
+        ts = vracer.init_train(cfg, jax.random.key(3))
+        ckpt.save_train_state(str(tmp_path), ts, backend="orbax")
+        assert (tmp_path / "latest_orbax").is_dir()
+        back = ckpt.load_train_state(str(tmp_path), cfg, backend="orbax")
+        assert type(back) is type(ts)
+        for a, b in zip(jax.tree.leaves(ts), jax.tree.leaves(back)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_meta_roundtrip(self, tmp_path):
+        key = jax.random.fold_in(jax.random.key(7), 13)
+        ckpt.save_meta(str(tmp_path), key, gen=5, total_exp=1e4,
+                       episode_base=80)
+        m = ckpt.load_meta(str(tmp_path))
+        assert (m["gen"], m["total_exp"], m["episode_base"]) == (5, 1e4, 80)
+        np.testing.assert_array_equal(
+            np.asarray(jax.random.key_data(m["key"])),
+            np.asarray(jax.random.key_data(key)))
+        assert ckpt.load_meta(str(tmp_path / "nope")) is None
+
+    def test_replay_roundtrip_with_retrace_fields(self, tmp_path):
+        from marlpde_tpu.rl import replay as replay_mod
+        rep = replay_mod.init(3, 4, 2, 5, 1)
+        rep = rep.replace(vtg=rep.vtg + 2.0, truncated=rep.truncated.at[1].set(True),
+                          filled=jax.numpy.asarray(2, jax.numpy.int32))
+        ckpt.save_replay(str(tmp_path), rep)
+        back = ckpt.load_replay(str(tmp_path), replay_mod.init(3, 4, 2, 5, 1))
+        for a, b in zip(jax.tree.leaves(rep), jax.tree.leaves(back)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestKillAndResume:
+    """Complete resume semantics (korali e.loadState + Experience Replay
+    Serialize, run-vracer-burger.py:59-62,196): a run killed mid-way and
+    resumed from its checkpoint must continue BITWISE-identically to an
+    uninterrupted run — train state, replay, RNG stream and counters all
+    restored."""
+
+    def _env_cfg(self):
+        from marlpde_tpu.envs import registry
+        from marlpde_tpu.train import trainer
+        env = registry.make_env("diffusion-simple", N=8, num_agents=1,
+                                episode_length=6, noise=0.0)
+        rl = trainer.default_rl_config(env, width=8,
+                                       replay_start_experiences=12,
+                                       replay_max_experiences=120)
+        return env, rl
+
+    @pytest.mark.parametrize("minibatch_mode", ["episode", "experience"])
+    def test_bitwise_continuation(self, tmp_path, minibatch_mode):
+        import dataclasses
+        from marlpde_tpu.train import trainer
+        env, rl = self._env_cfg()
+        rl = dataclasses.replace(rl, minibatch_mode=minibatch_mode,
+                                 mini_batch_size=8)
+        full = trainer.TrainerConfig(num_envs=2, max_experiences=48, seed=11,
+                                     max_updates_per_gen=3)
+        ts_a, rep_a, h_a = trainer.train(env, rl, full, verbose=False)
+
+        # part 1: stop at half, checkpointing every generation
+        part1 = dataclasses.replace(full, max_experiences=24,
+                                    checkpoint_dir=str(tmp_path),
+                                    checkpoint_every=1, serialize_replay=True)
+        trainer.train(env, rl, part1, verbose=False)
+        # part 2: resume everything and finish
+        init_ts = ckpt.load_train_state(str(tmp_path), rl)
+        init_hist = ckpt.load_history(str(tmp_path))
+        init_rep = ckpt.load_replay(str(tmp_path),
+                                    trainer.make_replay(env, rl))
+        meta = ckpt.load_meta(str(tmp_path))
+        assert meta is not None and init_rep is not None
+        ts_b, rep_b, h_b = trainer.train(
+            env, rl, full, verbose=False, init_ts=init_ts,
+            init_history=init_hist, init_replay=init_rep,
+            init_key=meta["key"],
+            init_counters={k: meta[k]
+                           for k in ("gen", "total_exp", "episode_base")})
+
+        assert h_b["gen"] == h_a["gen"]
+        np.testing.assert_array_equal(h_b["mean_return"], h_a["mean_return"])
+        for a, b in zip(jax.tree.leaves(ts_a.params),
+                        jax.tree.leaves(ts_b.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(rep_a), jax.tree.leaves(rep_b)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_cli_resume_restores_replay_and_meta(self, tmp_path, monkeypatch):
+        from marlpde_tpu import run as cli
+        monkeypatch.chdir(tmp_path)
+        base = ["diffusion-simple", "--N", "8", "--episodelength", "10",
+                "--NE", "160", "--numenvs", "4", "--width", "8",
+                "--noise", "0", "--serialize-replay"]
+        cli.main(base)
+        res = tmp_path / "_result_diffusion-simple_0"
+        assert (res / "replay.npz").exists() and (res / "meta.npz").exists()
+        cli.main(base + ["--resume", "--NE", "320"])
+        h2 = json.load(open(res / "history.json"))
+        assert h2["experiences"][-1] >= 320
+
 
 class TestCli:
     @pytest.mark.parametrize("workload", [
@@ -184,3 +285,65 @@ class TestConvergenceScript:
         # refinement must not increase the error
         assert out["mse_rk3"][1] <= out["mse_rk3"][0]
         assert all(m > 0 for m in out["mse_abcn"])
+
+
+class TestTestingArtifacts:
+    """Non-Burgers testing-mode artifact sets (VERDICT r1 item 3): KS npz +
+    makePlot (ks_environment.py:122-183), diffusion/advection testing plots
+    (diffusion_environment_simple.py:76-81)."""
+
+    def test_ks_testing_artifacts(self, tmp_path):
+        from marlpde_tpu.analysis import evaluation
+        from marlpde_tpu.envs import registry
+        from marlpde_tpu.rl import vracer
+        from marlpde_tpu.train import trainer
+        env = registry.make_env("ks", N_dns=64, grid_size=16, num_actions=16,
+                                t_transient=5.0, t_end=15.0, episode_length=5)
+        rl = trainer.default_rl_config(env, width=8)
+        ts = vracer.init_train(rl, jax.random.key(0))
+        out = evaluation.ks_testing(env.cfg, env.consts, rl, ts,
+                                    str(tmp_path), run_tag=3)
+        d = np.load(tmp_path / "sgs_3.npz")
+        assert set(d.files) >= {"x", "t", "uu", "vv", "L", "N", "dt", "nu",
+                                "tEnd"}
+        assert d["uu"].shape == (5, 16)
+        assert np.isfinite(d["uu"]).all()
+        sgs = np.load(tmp_path / "dnsSgs_3.npz")["sgs"]
+        assert sgs.shape[-1] == 64 and np.isfinite(sgs).all()
+        assert (tmp_path / "ks_3_evolution.png").exists()
+        assert out["controlled_cumreward"].shape == (1,)
+        assert np.isfinite(out["baseline_cumreward"]).all()
+
+    @pytest.mark.parametrize("name,kw", [
+        ("diffusion-simple", dict(N=8, episode_length=6, noise=0.0)),
+        ("advection-simple", dict(N=8, episode_length=6)),
+        ("laplace", dict(num_agents=8, episode_length=6)),
+    ])
+    def test_simple_env_testing_artifacts(self, tmp_path, name, kw):
+        from marlpde_tpu.analysis import evaluation
+        from marlpde_tpu.envs import registry
+        from marlpde_tpu.rl import vracer
+        from marlpde_tpu.train import trainer
+        env = registry.make_env(name, **kw)
+        rl = trainer.default_rl_config(env, width=8)
+        ts = vracer.init_train(rl, jax.random.key(1))
+        out = evaluation.simple_env_testing(env, rl, ts, str(tmp_path))
+        for f in ("evolution.png", "actionfield.png", "actiondist.png",
+                  "field.png"):
+            assert (tmp_path / f).exists(), f
+        assert out["uu"].shape == (6, kw.get("N", env.cfg.solver.N))
+        if name != "laplace":
+            assert out["solution"] is not None
+            assert np.isfinite(out["solution"]).all()
+
+    def test_cli_test_mode_writes_plots(self, tmp_path, monkeypatch):
+        from marlpde_tpu import run as cli
+        monkeypatch.chdir(tmp_path)
+        base = ["advection-simple", "--N", "8", "--episodelength", "6",
+                "--numenvs", "2", "--width", "8", "--noise", "0"]
+        cli.main(base + ["--NE", "24"])
+        cli.main(base + ["--test"])
+        res = tmp_path / "_result_advection-simple_0"
+        for f in ("evolution.png", "actionfield.png", "actiondist.png",
+                  "field.png"):
+            assert (res / f).exists(), f

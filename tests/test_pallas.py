@@ -1,6 +1,7 @@
 """Pallas kernel validation (interpret mode on CPU; compiled path exercised by
 bench.py on real TPU)."""
 
+import dataclasses
 import functools
 
 import jax
@@ -38,7 +39,7 @@ class TestAbcnKernel:
         kw = dict(n_intermediate=5, dt=1e-3, dx=float(2 * np.pi / N))
         out_k = abcn_pallas.abcn_macro_step(**args, **kw, tile_b=8)
         out_r = abcn_pallas.abcn_macro_step_reference(**args, **kw)
-        names = ["u", "v_re", "v_im", "fn_re", "fn_im", "ek"]
+        names = ["u", "u_prev", "v_re", "v_im", "fn_re", "fn_im", "ek"]
         for i, name in enumerate(names):
             np.testing.assert_allclose(np.asarray(out_k[i]), np.asarray(out_r[i]),
                                        atol=2e-6, err_msg=name)
@@ -87,10 +88,12 @@ class TestFastEnvParity:
         pool = burger_env.make_dns_pool(cfg, 1, dtype=jnp.float32)
         return cfg, pool
 
-    @pytest.mark.parametrize("use_pallas", [False, True])
-    def test_fast_step_matches_general_env(self, use_pallas):
+    @pytest.mark.parametrize("use_pallas,version", [(False, 0), (True, 0),
+                                                    (False, 1), (True, 1)])
+    def test_fast_step_matches_general_env(self, use_pallas, version):
         from marlpde_tpu.envs import burger_env, burger_fast
         cfg, pool = self._setup()
+        cfg = dataclasses.replace(cfg, version=version)
         B = 4
         keys = jax.random.split(jax.random.key(0), B)
         counts = jnp.arange(B)
@@ -111,6 +114,9 @@ class TestFastEnvParity:
                                        atol=2e-4, err_msg=f"step {i}")
             np.testing.assert_allclose(np.asarray(fstate.u), np.asarray(gstate.solver.u),
                                        atol=2e-4, err_msg=f"step {i}")
+            # obs parity covers the u_prev (dudt) feature for version 1
+            np.testing.assert_allclose(np.asarray(fobs), np.asarray(gobs),
+                                       atol=5e-2, err_msg=f"obs step {i}")
 
 
 class TestMlpKernel:
@@ -138,3 +144,95 @@ class TestMlpKernel:
                                             tile_r=32)
         assert v.shape == (37,)
         np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref), atol=2e-5)
+
+
+class TestFastRolloutWiring:
+    """The whole-batch fast env is the TRAINING rollout backend for qualifying
+    configs (VERDICT r1 item 1): registry attaches batch_reset/batch_step and
+    collect_episodes rolls out through them instead of the vmapped env."""
+
+    _kw = dict(N_dns=64, grid_size=32, num_actions=32, num_agents=4,
+               dt=0.01, T=0.5, nu=0.05, episode_length=5,
+               ic_case="turbulence", spectral_reward=True, noise=0.0)
+
+    def test_registry_attaches_fast_backend(self):
+        from marlpde_tpu.envs import registry
+        env = registry.make_env("burger", **self._kw)
+        assert env.batch_step is not None and env.batch_reset is not None
+        assert registry.fast_burger_ok(env.cfg)
+
+    def test_registry_fast_off_and_nonqualifying(self):
+        from marlpde_tpu.envs import registry
+        env = registry.make_env("burger", fast="off", **self._kw)
+        assert env.batch_step is None
+        for bad in (dict(spectral_reward=False), dict(ssm=True),
+                    dict(coupled=True), dict(dforce=False),
+                    dict(scheme="fd", state_bound=1e6)):
+            env = registry.make_env("burger", **{**self._kw, **bad})
+            assert env.batch_step is None, bad
+
+    @pytest.mark.parametrize("fast", ["auto", "pallas"])
+    def test_collect_matches_general_env(self, fast):
+        from marlpde_tpu.envs import registry, rollout
+        from marlpde_tpu.train import trainer
+        from marlpde_tpu.rl import vracer
+        env_g = registry.make_env("burger", fast="off", **self._kw)
+        env_f = registry.make_env("burger", cfg=env_g.cfg, pool=env_g.consts,
+                                  fast=fast)
+        rl_cfg = trainer.default_rl_config(env_g, width=16)
+        ts = vracer.init_train(rl_cfg, jax.random.key(0))
+        k = jax.random.key(7)
+        tg, fg = rollout.collect_episodes(env_g, rl_cfg, ts, k, 4)
+        tf, ff = rollout.collect_episodes(env_f, rl_cfg, ts, k, 4)
+        for name in ("obs", "actions", "rewards", "mask"):
+            np.testing.assert_allclose(np.asarray(tf[name]),
+                                       np.asarray(tg[name]),
+                                       atol=5e-4, err_msg=name)
+        np.testing.assert_allclose(np.asarray(ff.cum_reward),
+                                   np.asarray(fg.cum_reward), atol=2e-3)
+        np.testing.assert_array_equal(np.asarray(tf["truncated"]),
+                                      np.asarray(tg["truncated"]))
+
+    def test_fused_training_generation_on_fast_backend(self):
+        """trainer.build_fused_generation (the bench BENCH_MODE=train program)
+        runs end-to-end on the whole-batch backend."""
+        from marlpde_tpu.envs import registry
+        from marlpde_tpu.train import trainer
+        from marlpde_tpu.rl import vracer
+        env = registry.make_env("burger", **self._kw)
+        assert env.batch_step is not None
+        rl_cfg = trainer.default_rl_config(env, width=16,
+                                           replay_start_experiences=5,
+                                           replay_max_experiences=100)
+        tc = trainer.TrainerConfig(num_envs=4, max_updates_per_gen=2)
+        upd = trainer.updates_per_generation(rl_cfg, tc, env.episode_length)
+        gen_fn = trainer.build_fused_generation(env, rl_cfg, tc, upd)
+        ts = vracer.init_train(rl_cfg, jax.random.key(0))
+        rep = trainer.make_replay(env, rl_cfg)
+        ts, rep, traj, final, metrics, stats = gen_fn(
+            ts, rep, jax.random.key(1), jax.random.key(2),
+            jnp.asarray(0), env.consts)
+        assert int(rep.filled) == 4
+        assert np.isfinite(float(stats["mean_return"]))
+
+
+class TestPolicyImplParity:
+    """policy_impl='pallas' (the fused MLP kernel) must act identically to
+    the flax/XLA forward — first-class trainer flag (VERDICT r1 item 10)."""
+
+    def test_act_matches_xla(self, rng):
+        from marlpde_tpu.rl import vracer
+        cfg_x = vracer.VracerConfig(obs_dim=5, act_dim=2, width=32,
+                                    init_noise=0.3)
+        cfg_p = dataclasses.replace(cfg_x, policy_impl="pallas")
+        ts = vracer.init_train(cfg_x, jax.random.key(0))
+        obs = jnp.asarray(rng.standard_normal((6, 3, 5)).astype(np.float32))
+        k = jax.random.key(4)
+        a_x, mu_x, sg_x = vracer.act(cfg_x, ts, obs, k)
+        a_p, mu_p, sg_p = vracer.act(cfg_p, ts, obs, k)
+        np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_x), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(mu_p), np.asarray(mu_x), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(sg_p), np.asarray(sg_x), atol=2e-5)
+        d_x = vracer.act_deterministic(cfg_x, ts, obs)
+        d_p = vracer.act_deterministic(cfg_p, ts, obs)
+        np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_x), atol=2e-5)

@@ -511,3 +511,51 @@ class TestLaplace:
         assert s.shape == (na, 4)
         np.testing.assert_allclose(s[0], [u0[-1], u0[0], u0[1], f[0]])
         np.testing.assert_allclose(s[2], [u0[1], u0[2], u0[3], f[2]])
+
+
+class TestBurgerCoeffs:
+    """Altered-coefficients linear symbol (Burger.py:160-175): vestigial in
+    the reference's Burgers variants (self.l is computed but the ABCN update
+    at Burger.py:486-489 never reads it); here it is functional — the CN
+    factor becomes 0.5*dt*l."""
+
+    def test_identity_coeffs_reproduce_default(self):
+        from marlpde_tpu.solvers import burger
+        nu = 0.05
+        # l = -c0 - c1*i*k + (1+c2)k^2 + c3*i*k^3 - (1+c4)k^4 == nu*k^2
+        coeffs = (0.0, 0.0, nu - 1.0, 0.0, -1.0)
+        cfg0 = burger.BurgerConfig(N=32, dt=1e-3, nu=nu)
+        cfg1 = burger.BurgerConfig(N=32, dt=1e-3, nu=nu, coeffs=coeffs)
+        rng = np.random.default_rng(0)
+        u0 = jnp.asarray(rng.standard_normal(32).astype(np.float32)) * 0.1
+        s0 = burger.init(cfg0, u0=u0)
+        s1 = burger.init(cfg1, u0=u0)
+        for _ in range(20):
+            s0, _ = burger.step(cfg0, s0)
+            s1, _ = burger.step(cfg1, s1)
+        np.testing.assert_allclose(np.asarray(s1.u), np.asarray(s0.u),
+                                   atol=1e-6)
+
+    def test_symbol_formula(self):
+        from marlpde_tpu.solvers import burger
+        k = np.fft.fftfreq(16, 1.0 / 16)
+        c = (0.3, -0.2, 0.1, 0.4, 0.5)
+        l = burger.linear_symbol(c, k)
+        want = (-0.3 + 0.2j * k + 1.1 * k**2 + 0.4j * k**3 - 1.5 * k**4)
+        np.testing.assert_allclose(l, want, rtol=1e-12)
+
+    def test_altered_symbol_changes_dynamics(self):
+        from marlpde_tpu.solvers import burger
+        cfg0 = burger.BurgerConfig(N=32, dt=1e-4, nu=0.05)
+        # extra 4th-order damping: c4 > -1 adds -(1+c4)k^4... keep it small
+        cfg1 = burger.BurgerConfig(N=32, dt=1e-4, nu=0.05,
+                                   coeffs=(0.0, 0.0, -0.95, 0.0, -1.001))
+        rng = np.random.default_rng(1)
+        u0 = jnp.asarray(rng.standard_normal(32).astype(np.float32)) * 0.1
+        s0 = burger.init(cfg0, u0=u0)
+        s1 = burger.init(cfg1, u0=u0)
+        for _ in range(10):
+            s0, _ = burger.step(cfg0, s0)
+            s1, _ = burger.step(cfg1, s1)
+        assert np.isfinite(np.asarray(s1.u)).all()
+        assert np.abs(np.asarray(s1.u) - np.asarray(s0.u)).max() > 1e-7
