@@ -116,19 +116,36 @@ def compare_with_uncontrolled(cfg: burger_env.BurgerEnvConfig, pool, rl_cfg, ts,
 
     if file_prefix:
         dcfg, lcfg = cfg.dns_solver, cfg.les_solver
-        tt = np.arange(cfg.episode_length) * cfg.dt * cfg.n_intermediate
+        T = cfg.episode_length
+        tt = np.arange(1, T + 1) * cfg.dt * cfg.n_intermediate
         dns_ek = diagnostics.compute_ek(spectral.fft(pool.uu[sidx]), dcfg.grid.dx)
-        sub = cfg.n_intermediate
+        # DNS a-priori SGS terms — dns.sgsHistory for the 2x2 KDE figure
+        # (plotting.py:346-407; terms from Burger.compute_Sgs)
+        dns_sgs = diagnostics.compute_sgs_burger(
+            pool.uu[sidx], dcfg.grid.k, dcfg.grid.dx, cfg.dt,
+            float(pool.nu[sidx]), cfg.grid_size)["sgs"]
         dns = dict(x=dcfg.grid.x, tt=np.arange(pool.uu.shape[1]) * cfg.dt,
                    uu=np.asarray(pool.uu[sidx]),
-                   ek_t=np.asarray(dns_ek["Ek_t"]), ek_ktt=np.asarray(dns_ek["Ek_ktt"]))
-        mk = lambda tr: dict(x=lcfg.grid.x, tt=tt, uu=np.asarray(tr["u"]),
-                             ek_t=np.asarray(tr["ektt"]).sum(-1)
-                             if "ektt" in tr else np.zeros(len(tt)),
-                             ek_ktt=np.asarray(tr.get("ektt", np.zeros((len(tt), cfg.grid_size)))),
-                             action_fields=np.asarray(tr.get("actions", np.zeros((len(tt), 1)))).reshape(len(tt), -1))
-        plotting.make_plot(dns, mk(traj_b), mk(traj_c), file_prefix,
-                           cfg.spectral_reward)
+                   ek_t=np.asarray(dns_ek["Ek_t"]),
+                   ek_ktt=np.asarray(dns_ek["Ek_ktt"]),
+                   sgs_history=np.asarray(dns_sgs))
+        basis = np.asarray(burger_env.action_basis(cfg))   # (NA, N)
+
+        def mk(tr):
+            d = dict(x=lcfg.grid.x, tt=tt, uu=np.asarray(tr["u"]),
+                     ek_t=np.asarray(tr["ektt"]).sum(-1)
+                     if "ektt" in tr else np.zeros(T),
+                     ek_ktt=np.asarray(tr.get(
+                         "ektt", np.zeros((T, cfg.grid_size)))))
+            if "actions" in tr:
+                a = np.asarray(tr["actions"]).reshape(T, -1)
+                d["action_fields"] = a
+                # applied SGS forcing on the grid — sgs.sgsHistory
+                d["sgs_history"] = a @ basis
+            return d
+
+        return dict(result, panels=plotting.make_plot(
+            dns, mk(traj_b), mk(traj_c), file_prefix, cfg.spectral_reward))
     return result
 
 
@@ -189,13 +206,20 @@ def ks_testing(cfg, pool, rl_cfg, ts, out_dir: str, run_tag: int = 0,
     dns_ek = diagnostics.compute_ek(spectral.fft(pool.uu[sidx]), dcfg.grid.dx)
     dns = dict(x=dcfg.grid.x, tt=np.arange(dns_uu.shape[0]) * cfg.dt,
                uu=dns_uu, ek_t=np.asarray(dns_ek["Ek_t"]),
-               ek_ktt=np.asarray(dns_ek["Ek_ktt"]))
-    mk = lambda tr: dict(
-        x=lcfg.grid.x, tt=tt, uu=np.asarray(tr["u"]),
-        ek_t=np.asarray(tr["ektt"]).sum(-1),
-        ek_ktt=np.asarray(tr["ektt"]),
-        action_fields=np.asarray(tr["actions"]).reshape(len(tt), -1))
-    plotting.make_plot(dns, mk(traj_b), mk(traj_c),
+               ek_ktt=np.asarray(dns_ek["Ek_ktt"]),
+               sgs_history=np.asarray(sgs_terms))
+    basis = np.asarray(ks_env.action_basis(cfg))           # (NA, g)
+
+    def mk(tr, with_sgs=False):
+        d = dict(x=lcfg.grid.x, tt=tt, uu=np.asarray(tr["u"]),
+                 ek_t=np.asarray(tr["ektt"]).sum(-1),
+                 ek_ktt=np.asarray(tr["ektt"]),
+                 action_fields=np.asarray(tr["actions"]).reshape(len(tt), -1))
+        if with_sgs:
+            d["sgs_history"] = d["action_fields"] @ basis
+        return d
+
+    plotting.make_plot(dns, mk(traj_b), mk(traj_c, with_sgs=True),
                        os.path.join(out_dir, f"ks_{run_tag}"), spectral=True)
     return dict(controlled_cumreward=np.asarray(final_c.cum_reward),
                 baseline_cumreward=np.asarray(final_b.cum_reward),
@@ -261,3 +285,73 @@ def simple_env_testing(env, rl_cfg, ts, out_dir: str, key=None):
     plotting.plot_action_distribution(a, os.path.join(out_dir, "actiondist.png"))
     plotting.plot_field_contour(x, tt, uu, os.path.join(out_dir, "field.png"))
     return dict(cumreward=np.asarray(final.cum_reward), uu=uu, solution=sol)
+
+
+def laplace_testing(env, rl_cfg, ts, out_dir: str, key=None):
+    """Laplace testing plots (plotting_laplace.py:13-90): evolution panels
+    with the FD laplacian ("gradient") dashed, the 3 stencil-channel action
+    contours, the gradient-field contour (hessian.pdf), and the per-channel
+    action distribution."""
+    import os
+
+    key = key if key is not None else jax.random.key(0)
+    cfg = env.cfg
+
+    def episode(consts, t, k):
+        state, obs = env.reset(consts, k, jnp.asarray(0))
+
+        def macro(carry, _):
+            st, ob = carry
+            a = vracer.act_deterministic(rl_cfg, t, ob)
+            st2, ob2, rew, done, _ = env.step(consts, st, a)
+            return (st2, ob2), dict(u=st2.solver.u, actions=a, reward=rew)
+
+        (final, _), traj = jax.lax.scan(macro, (state, obs), None,
+                                        length=cfg.episode_length)
+        return traj, final
+
+    traj, final = jax.jit(lambda c, t, k: episode(c, t, k))(env.consts, ts, key)
+    os.makedirs(out_dir, exist_ok=True)
+    x = np.asarray(cfg.solver.grid.x)
+    dx = float(cfg.solver.grid.dx)
+    uu = np.asarray(traj["u"])                      # (T, N)
+    tt = np.arange(1, len(uu) + 1) * cfg.solver.dt
+    # the reference's gradientHistory: centered-FD laplacian of u
+    grad = (np.roll(uu, -1, 1) - 2 * uu + np.roll(uu, 1, 1)) / dx**2
+    a = np.asarray(traj["actions"])                 # (T, na, 3)
+
+    plt = plotting._plt()
+    # evolution panels: u solid, laplacian dashed (plotting_laplace.py:13-32)
+    fig, axs = plt.subplots(2, 3, sharex=True)
+    for i in range(6):
+        tidx = min(int(i * len(uu) / 6), len(uu) - 1)
+        ax = axs[i // 3, i % 3]
+        ax.plot(x, uu[tidx], "-", color="royalblue")
+        ax.plot(x, grad[tidx], "--", color="royalblue", alpha=0.8)
+    fig.tight_layout()
+    fig.savefig(os.path.join(out_dir, "evolution.png"))
+    plt.close(fig)
+
+    # 3 stencil-channel action contours (plotting_laplace.py:34-56)
+    xa = x[1:]                                     # agents act on rows 1..N-1
+    fig, axs = plt.subplots(1, 3, sharex=True, sharey=True, figsize=(12, 4))
+    for c in range(3):
+        cf = axs[c].contourf(xa, tt, a[:, :, c])
+    fig.colorbar(cf)
+    fig.tight_layout()
+    fig.savefig(os.path.join(out_dir, "actions.png"))
+    plt.close(fig)
+
+    # gradient-field contour — "hessian.pdf" (plotting_laplace.py:58-72)
+    fig, ax = plt.subplots(figsize=(8, 8))
+    cf = ax.contourf(x, tt, grad, levels=50)
+    fig.colorbar(cf)
+    fig.tight_layout()
+    fig.savefig(os.path.join(out_dir, "hessian.png"))
+    plt.close(fig)
+
+    # per-channel action distribution (plotting_laplace.py:74-90)
+    plotting.plot_action_distribution(a, os.path.join(out_dir, "actiondist.png"))
+    # field contour for completeness with the simple-env set
+    plotting.plot_field_contour(x, tt, uu, os.path.join(out_dir, "field.png"))
+    return dict(cumreward=np.asarray(final.cum_reward), uu=uu, gradient=grad)

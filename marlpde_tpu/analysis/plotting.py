@@ -130,52 +130,183 @@ def plot_avg_spectrum(ek_ktt_list, labels, fname="spectrum.png"):
     plt.close(fig)
 
 
-def make_plot(dns, base, sgs, file_prefix="compare", spectral=True):
-    """The reference's 3x6 evaluation panel (plotting.py:161-433).
+def _interp_dns(dns_x, dns_tt, dns_uu, x, tt):
+    """Cubic interpolation of the DNS field onto (tt, x) — the reference's
+    interpolate.interp2d(dns.x, dns.tt, dns.uu, kind='cubic')
+    (plotting.py:233-245).  Periodic in x via a wrapped ghost column."""
+    from scipy.interpolate import RectBivariateSpline
+    xg = np.concatenate([dns_x, [dns_x[0] + (dns_x[-1] - dns_x[0])
+                                 + (dns_x[1] - dns_x[0])]])
+    ug = np.concatenate([dns_uu, dns_uu[:, :1]], axis=1)
+    kt = min(3, len(dns_tt) - 1)
+    f = RectBivariateSpline(np.asarray(dns_tt), xg, ug, kx=kt, ky=3)
+    tt_c = np.clip(np.asarray(tt), dns_tt[0], dns_tt[-1])
+    return f(tt_c, np.asarray(x))
 
-    dns/base/sgs: dicts with keys
-      x (N,), tt (T+1,), uu (T+1, N), ek_t (T+1,), ek_ktt (T+1, N),
-      and optionally sgs_terms (T+1, N) / action_fields (T+1, N).
-    Writes {file_prefix}_evolution.png.
+
+def _align_dns_frames(dns_tt, tt):
+    """DNS frame index nearest each LES output time (plotting.py:232 tidx)."""
+    dns_tt = np.asarray(dns_tt)
+    return np.clip(np.searchsorted(dns_tt, np.asarray(tt) - 1e-12),
+                   0, len(dns_tt) - 1)
+
+
+def make_plot(dns, base, sgs, file_prefix="compare", spectral=True):
+    """The reference's makePlot artifact set (plotting.py:161-433):
+
+      {prefix}_evolution.png   4x4 field snapshots — baseline & controlled
+                               solid, DNS dashed (plotting.py:165-190)
+      {prefix}.png             3x6 panels — field contour | |err vs cubic-
+                               interpolated DNS| contour | instantaneous +
+                               cumulative error trace (spectral or MSE) |
+                               Ek_ktt spectra at start/mid/end (k^-2 guide on
+                               the DNS row) | relative spectrum error at
+                               start/mid/end | per-action trajectories
+                               (plotting.py:193-336)
+      {prefix}_action.png      2x2 — DNS a-priori SGS contour + log-KDE vs
+                               controlled SGS-forcing contour + overlaid KDEs
+                               (plotting.py:346-407; needs 'sgs_history')
+      {prefix}_action_closeup.png  KDE overlay within +-3 sigma (:410-425)
+
+    dns/base/sgs: dicts with x (N,), tt (T,), uu (T, N), ek_ktt (T, g);
+    sgs/base optionally action_fields (T, NA); dns/sgs optionally
+    sgs_history (T, N) a-priori/applied SGS terms.  Returns the computed
+    panel data (content-tested pixel-independently in tests/test_plotting.py).
     """
     plt = _plt()
-    cases = [("DNS", dns), ("no control", base), ("controlled", sgs)]
-    fig, axs = plt.subplots(3, 6, figsize=(24, 12))
-    for row, (name, d) in enumerate(cases):
-        uu = np.asarray(d["uu"])
-        tt = np.asarray(d["tt"])
+    colors = ["black", "royalblue", "seagreen"]
+    dns_x, dns_tt, dns_uu = (np.asarray(dns[k]) for k in ("x", "tt", "uu"))
+    data = {}
+
+    # ---- 4x4 snapshot grid (plotting.py:165-190) ----
+    fig2, axs2 = plt.subplots(4, 4, sharex=True, sharey=True, figsize=(15, 15))
+    T_les = len(np.asarray(sgs["tt"]))
+    for i in range(16):
+        tidx_sgs = min(int(i * T_les / 16), T_les - 1)
+        tidx_dns = min(int(i * len(dns_tt) / 16), len(dns_tt) - 1)
+        ax = axs2[i // 4, i % 4]
+        ax.plot(np.asarray(base["x"]), np.asarray(base["uu"])[tidx_sgs], "-",
+                color=colors[1])
+        ax.plot(np.asarray(sgs["x"]), np.asarray(sgs["uu"])[tidx_sgs], "-",
+                color=colors[2])
+        ax.plot(dns_x, dns_uu[tidx_dns], "--", color=colors[0])
+    fig2.tight_layout()
+    fig2.savefig(f"{file_prefix}_evolution.png")
+    plt.close(fig2)
+
+    # ---- 3x6 comparison panel (plotting.py:193-336) ----
+    fig1, axs1 = plt.subplots(3, 6, figsize=(24, 12))
+    N = dns_uu.shape[1]
+    g = np.asarray(sgs["uu"]).shape[1]
+    k1 = np.arange(N // 2)
+    k2 = np.arange(1, g // 2)
+    umax = max(dns_uu.max(), np.asarray(base["uu"]).max(),
+               np.asarray(sgs["uu"]).max())
+    umin = min(dns_uu.min(), np.asarray(base["uu"]).min(),
+               np.asarray(sgs["uu"]).min())
+    ulevels = np.linspace(umin, umax + 1e-12, 50)
+
+    # DNS row: field contour + spectra with the k^-2 guide (plotting.py:219-226)
+    axs1[0, 0].contourf(dns_x, dns_tt, dns_uu, ulevels)
+    axs1[0, 0].set_ylabel("DNS")
+    dns_ek = np.asarray(dns["ek_ktt"])
+    for sel, style in ((0, ":"), (len(dns_ek) // 2, "--"), (-1, "-")):
+        axs1[0, 3].plot(k1[1:], np.abs(dns_ek[sel][1:N // 2]), style,
+                        color=colors[0])
+    axs1[0, 3].plot(k1[2:-10] if N > 24 else k1[2:],
+                    1e-5 * np.asarray(k1[2:-10] if N > 24 else k1[2:],
+                                      float) ** (-2.0), "--", linewidth=0.5)
+    axs1[0, 3].set_xscale("log")
+    axs1[0, 3].set_yscale("log")
+
+    for row, (name, d) in enumerate([("no control", base),
+                                     ("controlled", sgs)], start=1):
         x = np.asarray(d["x"])
-        # field contour
-        axs[row, 0].contourf(x, tt, uu, 32)
-        axs[row, 0].set_ylabel(name)
-        # mid/final field snapshots
-        axs[row, 1].plot(x, uu[len(uu) // 2], label="t mid")
-        axs[row, 1].plot(x, uu[-1], label="t end")
-        axs[row, 1].legend()
-        # total energy vs t
-        axs[row, 2].plot(tt, np.asarray(d["ek_t"]))
-        axs[row, 2].set_title("E(t)")
-        # cumulative-avg spectrum at end
-        ek = np.asarray(d["ek_ktt"])[-1]
-        half = len(ek) // 2
-        axs[row, 3].loglog(np.arange(1, half), ek[1:half])
-        axs[row, 3].set_title("E(k)")
-        # error vs DNS truth on the coarse nodes
-        dns_uu = np.asarray(dns["uu"])
-        stride = dns_uu.shape[1] // uu.shape[1]
-        err = np.abs(uu - dns_uu[:, ::stride][: uu.shape[0]])
-        axs[row, 4].plot(tt, err.mean(1))
-        axs[row, 4].set_yscale("log")
-        axs[row, 4].set_title("|err| vs DNS")
-        # SGS-term / action distribution (KDE-style histogram)
-        key = "sgs_terms" if "sgs_terms" in d else "action_fields"
-        if key in d:
-            vals = np.asarray(d[key]).ravel()
-            axs[row, 5].hist(vals, bins=64, density=True)
-            axs[row, 5].set_title(key)
-    fig.tight_layout()
-    fig.savefig(f"{file_prefix}_evolution.png")
-    plt.close(fig)
+        tt = np.asarray(d["tt"])
+        uu = np.asarray(d["uu"])
+        ek = np.asarray(d["ek_ktt"])
+        udns = _interp_dns(dns_x, dns_tt, dns_uu, x, tt)
+        errU = np.abs(uu - udns)
+        mse_t = np.mean(errU**2, axis=1)
+        mse_c = np.cumsum(mse_t) / np.arange(1, len(mse_t) + 1)
+        tidx = _align_dns_frames(dns_tt, tt)
+        dk = dns_ek[tidx][:, 1: g // 2]
+        errK_t = np.mean((np.abs(dk - ek[:, 1: g // 2]) / dk) ** 2, axis=1)
+        errK_c = np.cumsum(errK_t) / np.arange(1, len(errK_t) + 1)
+        data[f"{name}_errU"] = errU
+        data[f"{name}_mse_t"] = mse_t
+        data[f"{name}_errK_t"] = errK_t
+        data[f"{name}_errK_cum"] = errK_c
+
+        axs1[row, 0].contourf(x, tt, uu, ulevels)
+        axs1[row, 0].set_ylabel(name)
+        axs1[row, 1].contourf(x, tt, errU, 50)
+        inst, cum = (errK_t, errK_c) if spectral else (mse_t, mse_c)
+        axs1[row, 2].plot(tt, inst, "r:")
+        axs1[row, 2].plot(tt, cum, "r-")
+        axs1[row, 2].set_yscale("log")
+        for sel, style in ((0, ":"), (len(ek) // 2, "--"), (-1, "-")):
+            axs1[row, 3].plot(k2, np.abs(ek[sel][1:g // 2]), style,
+                              color=colors[row])
+        axs1[row, 3].set_xscale("log")
+        axs1[row, 3].set_yscale("log")
+        for sel, style in ((0, "r:"), (len(ek) // 2, "r--"), (-1, "r-")):
+            rel = np.abs((dns_ek[tidx[sel]][1:g // 2] - ek[sel][1:g // 2])
+                         / dns_ek[tidx[sel]][1:g // 2])
+            axs1[row, 4].plot(k2, rel, style)
+        axs1[row, 4].set_xscale("log")
+        axs1[row, 4].set_yscale("log")
+        if "action_fields" in d:
+            a = np.asarray(d["action_fields"])
+            acolors = plt.cm.coolwarm(np.linspace(0, 1, a.shape[1]))
+            for i in range(a.shape[1]):
+                axs1[row, 5].plot(tt, a[:, i], color=acolors[i])
+    fig1.tight_layout()
+    fig1.savefig(f"{file_prefix}.png")
+    plt.close(fig1)
+
+    # ---- 2x2 SGS-term distribution (plotting.py:346-407) ----
+    if "sgs_history" in dns and "sgs_history" in sgs:
+        from scipy.stats import gaussian_kde
+        dns_sgs_full = np.asarray(dns["sgs_history"])
+        xi = (np.arange(N) % max(N // g, 1)) == 0
+        dns_sgs = dns_sgs_full[:, xi]
+        sgs_hist = np.asarray(sgs["sgs_history"])
+        smin = min(dns_sgs.min(), sgs_hist.min())
+        smax = max(dns_sgs.max(), sgs_hist.max())
+        svals = np.linspace(smin, smax, 500)
+        dns_kde = gaussian_kde(dns_sgs.ravel())(svals)
+        sgs_kde = gaussian_kde(sgs_hist.ravel())(svals)
+        data["sgs_kde_grid"] = svals
+        data["dns_sgs_kde"] = dns_kde
+        data["sgs_sgs_kde"] = sgs_kde
+
+        fig3, axs3 = plt.subplots(2, 2, figsize=(10, 10))
+        axs3[0, 0].contourf(np.arange(dns_sgs.shape[1]), dns_tt[:len(dns_sgs)],
+                            dns_sgs)
+        axs3[0, 1].plot(svals, dns_kde, color=colors[0])
+        axs3[0, 1].set_yscale("log")
+        axs3[1, 0].contourf(np.asarray(sgs["x"]),
+                            np.asarray(sgs["tt"])[:len(sgs_hist)], sgs_hist)
+        axs3[1, 1].plot(svals, dns_kde, color=colors[0], linestyle="--")
+        axs3[1, 1].plot(svals, sgs_kde, color=colors[2])
+        fig3.tight_layout()
+        fig3.savefig(f"{file_prefix}_action.png")
+        plt.close(fig3)
+
+        # closeup within +-3 sigma of the controlled forcing (plotting.py:410-425)
+        mu_, sd = sgs_hist.mean(), sgs_hist.std()
+        svals2 = np.linspace(mu_ - 3 * sd, mu_ + 3 * sd, 500)
+        fig4, ax4 = plt.subplots(figsize=(10, 10))
+        ax4.plot(svals2, gaussian_kde(dns_sgs.ravel())(svals2),
+                 color=colors[0], linestyle="--")
+        ax4.plot(svals2, gaussian_kde(sgs_hist.ravel())(svals2),
+                 color=colors[2])
+        ax4.set_yscale("log")
+        fig4.tight_layout()
+        fig4.savefig(f"{file_prefix}_action_closeup.png")
+        plt.close(fig4)
+    return data
 
 
 def make_diffusion_plot(x, tt, uu, solution, fname="diffusion.png"):

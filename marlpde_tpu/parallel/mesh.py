@@ -156,25 +156,47 @@ def make_sharded_generation(env: Env, rl_cfg: vracer.VracerConfig, mesh: Mesh,
 def run_generations(env: Env, rl_cfg, mesh: Mesh, envs_per_device: int,
                     updates_per_gen: int, n_generations: int, seed: int = 0,
                     axis: str = "env", verbose: bool = False,
-                    init_ts=None, history: Optional[dict] = None):
+                    init_ts=None, history: Optional[dict] = None,
+                    testing_frequency: int = 0, testing_episodes: int = 8,
+                    checkpoint_dir: Optional[str] = None,
+                    checkpoint_every: int = 25, init_key=None):
     """Convenience driver used by the multichip dry-run and the TPU trainer.
 
     Returns (ts, rep_shards, history) where history carries per-generation
     gen/experiences/mean_return/mean_ep_len (the trainer-history subset rlview
-    understands)."""
+    understands).  Feature parity with trainer.train: deterministic evals
+    every ``testing_frequency`` generations (korali Testing Frequency),
+    periodic checkpoints (train state + history + RNG/counter meta; korali
+    File Output, run-vracer-burger.py:198-201), and resume via
+    ``init_ts``/``history``/``init_key``."""
     import time as _time
 
     n_dev = mesh.devices.size
     gen_fn, init_rep = make_sharded_generation(
         env, rl_cfg, mesh, envs_per_device, updates_per_gen, axis)
-    key = jax.random.key(seed)
+    key = init_key if init_key is not None else jax.random.key(seed)
     key, k0 = jax.random.split(key)
     ts = replicate(mesh, init_ts if init_ts is not None
                    else vracer.init_train(rl_cfg, k0))
     rep = init_rep()
+    collect_det = jax.jit(lambda ts_, key_, consts: collect_episodes(
+        env, rl_cfg, ts_, key_, testing_episodes, 0, deterministic=True,
+        consts=consts))
     history = history if history is not None else dict(
-        gen=[], experiences=[], mean_return=[], mean_ep_len=[], wall_time=[])
+        gen=[], experiences=[], mean_return=[], mean_ep_len=[], wall_time=[],
+        test_return=[])
+    history.setdefault("test_return", [])
     gen0 = history["gen"][-1] if history["gen"] else 0
+
+    def save(gen_now):
+        if not checkpoint_dir:
+            return
+        from marlpde_tpu.utils import checkpoint as ckpt
+        ckpt.save_train_state(checkpoint_dir, jax.device_get(ts), history)
+        exp_now = history["experiences"][-1] if history["experiences"] else 0
+        ckpt.save_meta(checkpoint_dir, key, gen_now, exp_now,
+                       gen_now * n_dev * envs_per_device)
+
     t0 = _time.time()
     for g in range(n_generations):
         key, kg = jax.random.split(key)
@@ -182,14 +204,22 @@ def run_generations(env: Env, rl_cfg, mesh: Mesh, envs_per_device: int,
         bases = jnp.full((n_dev,), (gen0 + g) * n_dev * envs_per_device,
                          jnp.int32)
         ts, rep, stats = gen_fn(ts, rep, keys, bases, env.consts)
-        history["gen"].append(gen0 + g + 1)
+        gen_now = gen0 + g + 1
+        history["gen"].append(gen_now)
         history["experiences"].append(
-            (gen0 + g + 1) * n_dev * envs_per_device * env.episode_length)
+            gen_now * n_dev * envs_per_device * env.episode_length)
         history["mean_return"].append(float(stats["mean_return"]))
         history["mean_ep_len"].append(float(stats["mean_ep_len"]))
         history["wall_time"].append(_time.time() - t0)
+        if testing_frequency and gen_now % testing_frequency == 0:
+            key, k_t = jax.random.split(key)
+            _ttraj, tfinal = collect_det(ts, k_t, env.consts)
+            history["test_return"].append(float(tfinal.cum_reward.mean()))
+        if checkpoint_dir and gen_now % checkpoint_every == 0:
+            save(gen_now)
         if verbose:
-            print(f"[mesh-trainer] gen {gen0 + g + 1} devices {n_dev} "
+            print(f"[mesh-trainer] gen {gen_now} devices {n_dev} "
                   f"return {history['mean_return'][-1]:.5f} "
                   f"eplen {history['mean_ep_len'][-1]:.1f}", flush=True)
+    save(gen0 + n_generations)
     return ts, rep, history

@@ -89,6 +89,9 @@ def build_parser():
                    help="CMA-ES generations (run-cmaes-burger.py:7)")
     # trainer flags
     p.add_argument("--numenvs", type=int, default=16, help="episodes per generation")
+    p.add_argument("--maxupd", type=int, default=200,
+                   help="cap on gradient updates per generation (the korali "
+                        "economics NE/expperu can exceed it; raise to match)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--serialize-replay", action="store_true",
                    help="save the replay buffer with checkpoints "
@@ -211,6 +214,7 @@ def make_workload(args):
         replay_max_experiences=100000 * args.episodelength // 500)
     tc = trainer.TrainerConfig(num_envs=args.numenvs, max_experiences=args.NE,
                                reuse_ratio=args.mbsize / args.expperu,
+                               max_updates_per_gen=args.maxupd,
                                seed=args.seed, fused=args.fused,
                                testing_frequency=args.testfreq,
                                testing_episodes=args.testepisodes)
@@ -266,10 +270,22 @@ def main(argv=None):
                       max(1, args.numenvs * T * tc.reuse_ratio
                           / (rl_cfg.mini_batch_episodes * T))))
         n_gens = max(1, int(tc.max_experiences // (args.numenvs * T)))
+        init_ts = init_history = init_key = None
+        if args.resume:
+            init_ts = ckpt.load_train_state(result_dir, rl_cfg)
+            init_history = ckpt.load_history(result_dir)
+            meta = ckpt.load_meta(result_dir)
+            if meta is not None:
+                init_key = meta["key"]
+            done_gens = init_history["gen"][-1] if init_history else 0
+            n_gens = max(0, n_gens - done_gens)
         ts, rep, history = pmesh.run_generations(
             env, rl_cfg, mesh, envs_per_device=per_dev, updates_per_gen=upd,
-            n_generations=n_gens, seed=args.seed, verbose=True)
-        ckpt.save_train_state(result_dir, ts, history)
+            n_generations=n_gens, seed=args.seed, verbose=True,
+            init_ts=init_ts, history=init_history, init_key=init_key,
+            testing_frequency=args.testfreq, testing_episodes=args.testepisodes,
+            checkpoint_dir=result_dir, checkpoint_every=25)
+        ckpt.save_train_state(result_dir, jax.device_get(ts), history)
         print(json.dumps({"workload": args.workload, "mesh_devices": int(n_dev),
                           "final_mean_return": history["mean_return"][-1],
                           "generations": history["gen"][-1]}))
@@ -331,9 +347,13 @@ def main(argv=None):
                 np.mean(cmp_["baseline_cumreward"]))
             summary["controlled_cumreward"] = float(
                 np.mean(cmp_["controlled_cumreward"]))
+        elif args.workload == "laplace":
+            # plotting_laplace.py:13-90 testing plots (gradient panels)
+            from marlpde_tpu.analysis import evaluation
+            evaluation.laplace_testing(env, rl_cfg, ts, out_dir=result_dir,
+                                       key=jax.random.key(args.seed))
         elif args.workload in ("diffusion-simple", "diffusion-error",
-                               "diffusion-stencil3", "advection-simple",
-                               "laplace"):
+                               "diffusion-stencil3", "advection-simple"):
             # diffusion_environment_simple.py:76-81 testing plots
             from marlpde_tpu.analysis import evaluation
             evaluation.simple_env_testing(env, rl_cfg, ts, out_dir=result_dir,

@@ -347,3 +347,89 @@ class TestTestingArtifacts:
         for f in ("evolution.png", "actionfield.png", "actiondist.png",
                   "field.png"):
             assert (res / f).exists(), f
+
+
+class TestMakePlotContent:
+    """Pixel-independent content checks of makePlot's panel data (VERDICT r1
+    item 7): the returned error curves / KDEs must match literal numpy
+    re-derivations of the reference recipes (plotting.py:233-258,346-407)."""
+
+    def _mk_inputs(self, rng, N=64, g=16, T=12, Td=40):
+        x_d = np.linspace(0, 2 * np.pi, N, endpoint=False)
+        x_l = np.linspace(0, 2 * np.pi, g, endpoint=False)
+        tt_d = np.arange(Td) * 0.01
+        tt_l = np.arange(1, T + 1) * (0.01 * 3)
+        dns_uu = np.sin(x_d)[None] * np.cos(tt_d)[:, None]
+        base_uu = np.sin(x_l)[None] * np.cos(tt_l)[:, None] * 0.9
+        sgs_uu = np.sin(x_l)[None] * np.cos(tt_l)[:, None] * 0.99
+        ek = lambda n, t: np.abs(rng.standard_normal((t, n))) + 0.5
+        dns = dict(x=x_d, tt=tt_d, uu=dns_uu, ek_ktt=ek(N, Td),
+                   sgs_history=rng.standard_normal((Td, N)))
+        base = dict(x=x_l, tt=tt_l, uu=base_uu, ek_ktt=ek(g, T),
+                    action_fields=rng.standard_normal((T, 4)))
+        sgs = dict(x=x_l, tt=tt_l, uu=sgs_uu, ek_ktt=ek(g, T),
+                   action_fields=rng.standard_normal((T, 4)),
+                   sgs_history=rng.standard_normal((T, g)))
+        return dns, base, sgs
+
+    def test_panel_data_matches_reference_recipe(self, rng, tmp_path):
+        from marlpde_tpu.analysis import plotting
+        dns, base, sgs = self._mk_inputs(rng)
+        prefix = str(tmp_path / "cmp")
+        data = plotting.make_plot(dns, base, sgs, prefix, spectral=True)
+        for f in ("cmp.png", "cmp_evolution.png", "cmp_action.png",
+                  "cmp_action_closeup.png"):
+            assert (tmp_path / f).exists(), f
+
+        # spectral error curve: literal re-derivation (plotting.py:240-246)
+        g = 16
+        tidx = np.clip(np.searchsorted(dns["tt"], sgs["tt"] - 1e-12),
+                       0, len(dns["tt"]) - 1)
+        dk = dns["ek_ktt"][tidx][:, 1:g // 2]
+        want = np.mean((np.abs(dk - sgs["ek_ktt"][:, 1:g // 2]) / dk) ** 2,
+                       axis=1)
+        np.testing.assert_allclose(data["controlled_errK_t"], want, rtol=1e-12)
+        want_cum = np.cumsum(want) / np.arange(1, len(want) + 1)
+        np.testing.assert_allclose(data["controlled_errK_cum"], want_cum,
+                                   rtol=1e-12)
+
+        # KDE panel: gaussian_kde of the subsampled DNS SGS terms
+        from scipy.stats import gaussian_kde
+        xi = (np.arange(64) % 4) == 0
+        want_kde = gaussian_kde(dns["sgs_history"][:, xi].ravel())(
+            data["sgs_kde_grid"])
+        np.testing.assert_allclose(data["dns_sgs_kde"], want_kde, rtol=1e-10)
+
+        # interpolation error: ~|0.99-1| * field scale for the controlled run
+        assert data["controlled_errU"].shape == (12, 16)
+        assert data["controlled_errU"].max() < data["no control_errU"].max()
+
+    def test_mse_mode(self, rng, tmp_path):
+        from marlpde_tpu.analysis import plotting
+        dns, base, sgs = self._mk_inputs(rng)
+        data = plotting.make_plot(dns, base, sgs, str(tmp_path / "m"),
+                                  spectral=False)
+        # mse curve equals mean squared interpolation error
+        np.testing.assert_allclose(
+            data["controlled_mse_t"],
+            np.mean(data["controlled_errU"] ** 2, axis=1), rtol=1e-12)
+
+
+class TestLaplaceTesting:
+    def test_laplace_artifacts_and_gradient(self, tmp_path):
+        from marlpde_tpu.analysis import evaluation
+        from marlpde_tpu.envs import registry
+        from marlpde_tpu.rl import vracer
+        from marlpde_tpu.train import trainer
+        env = registry.make_env("laplace", num_agents=8, episode_length=6)
+        rl = trainer.default_rl_config(env, width=8)
+        ts = vracer.init_train(rl, jax.random.key(2))
+        out = evaluation.laplace_testing(env, rl, ts, str(tmp_path))
+        for f in ("evolution.png", "actions.png", "hessian.png",
+                  "actiondist.png", "field.png"):
+            assert (tmp_path / f).exists(), f
+        # gradient = centered FD laplacian of the recorded field
+        uu = out["uu"]
+        dx = 2 * np.pi / 9
+        want = (np.roll(uu, -1, 1) - 2 * uu + np.roll(uu, 1, 1)) / dx**2
+        np.testing.assert_allclose(out["gradient"], want, rtol=1e-6)

