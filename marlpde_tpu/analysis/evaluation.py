@@ -62,13 +62,14 @@ def evaluate_policy(cfg: burger_env.BurgerEnvConfig, pool, rl_cfg, ts,
         actions.append(np.asarray(traj["actions"]).reshape(cfg.episode_length, -1))
         cums.append(np.asarray(final.cum_reward))
 
-    # DNS a-priori SGS terms (burger_environment.py:244)
+    # DNS a-priori SGS terms (burger_environment.py:244).  Jitted: eager
+    # dispatch is unsupported on the axon remote-compile backend.
     dcfg = cfg.dns_solver
+    sgs_fn = jax.jit(lambda p, i: diagnostics.compute_sgs_burger(
+        p.uu[i], dcfg.grid.k, dcfg.grid.dx, cfg.dt, p.nu[i], cfg.grid_size))
     dns_sgs = []
     for i in range(n_pool):
-        terms = diagnostics.compute_sgs_burger(
-            pool.uu[i], dcfg.grid.k, dcfg.grid.dx, cfg.dt,
-            float(pool.nu[i]), cfg.grid_size)
+        terms = sgs_fn(pool, jnp.asarray(i))
         dns_sgs.append(np.asarray(terms["sgs_alt2"]))
 
     out = dict(relError=np.stack(rel_errs), actions=np.stack(actions),
@@ -118,14 +119,15 @@ def compare_with_uncontrolled(cfg: burger_env.BurgerEnvConfig, pool, rl_cfg, ts,
         dcfg, lcfg = cfg.dns_solver, cfg.les_solver
         T = cfg.episode_length
         tt = np.arange(1, T + 1) * cfg.dt * cfg.n_intermediate
-        dns_ek = diagnostics.compute_ek(spectral.fft(pool.uu[sidx]), dcfg.grid.dx)
+        dns_ek = jax.jit(lambda p: diagnostics.compute_ek(
+            spectral.fft(p.uu[sidx]), dcfg.grid.dx))(pool)
         # DNS a-priori SGS terms — dns.sgsHistory for the 2x2 KDE figure
         # (plotting.py:346-407; terms from Burger.compute_Sgs)
-        dns_sgs = diagnostics.compute_sgs_burger(
-            pool.uu[sidx], dcfg.grid.k, dcfg.grid.dx, cfg.dt,
-            float(pool.nu[sidx]), cfg.grid_size)["sgs"]
+        dns_sgs = jax.jit(lambda p: diagnostics.compute_sgs_burger(
+            p.uu[sidx], dcfg.grid.k, dcfg.grid.dx, cfg.dt, p.nu[sidx],
+            cfg.grid_size)["sgs"])(pool)
         dns = dict(x=dcfg.grid.x, tt=np.arange(pool.uu.shape[1]) * cfg.dt,
-                   uu=np.asarray(pool.uu[sidx]),
+                   uu=np.asarray(pool.uu)[sidx],
                    ek_t=np.asarray(dns_ek["Ek_t"]),
                    ek_ktt=np.asarray(dns_ek["Ek_ktt"]),
                    sgs_history=np.asarray(dns_sgs))
@@ -197,13 +199,14 @@ def ks_testing(cfg, pool, rl_cfg, ts, out_dir: str, run_tag: int = 0,
 
     # DNS a-priori SGS terms (ks_environment.py:129-130 dns.compute_Sgs)
     dcfg = cfg.dns_solver
-    dns_uu = np.asarray(pool.uu[sidx])
-    sgs_terms = diagnostics.compute_sgs_ks(pool.uu[sidx], dcfg.grid.k,
-                                           dcfg.grid.dx, cfg.grid_size)
+    dns_uu = np.asarray(pool.uu)[sidx]
+    sgs_terms = jax.jit(lambda p: diagnostics.compute_sgs_ks(
+        p.uu[sidx], dcfg.grid.k, dcfg.grid.dx, cfg.grid_size))(pool)
     np.savez(os.path.join(out_dir, f"dnsSgs_{run_tag}.npz"),
              sgs=np.asarray(sgs_terms))
 
-    dns_ek = diagnostics.compute_ek(spectral.fft(pool.uu[sidx]), dcfg.grid.dx)
+    dns_ek = jax.jit(lambda p: diagnostics.compute_ek(
+        spectral.fft(p.uu[sidx]), dcfg.grid.dx))(pool)
     dns = dict(x=dcfg.grid.x, tt=np.arange(dns_uu.shape[0]) * cfg.dt,
                uu=dns_uu, ek_t=np.asarray(dns_ek["Ek_t"]),
                ek_ktt=np.asarray(dns_ek["Ek_ktt"]),

@@ -209,14 +209,24 @@ def train_closure(u_bar, pi, key, epochs: int = 100, batch_size: int = 200,
                         std_out=float(std_out), net=net)
 
 
+def transfer_mask(params, n_frozen: int = 6):
+    """Trainable-mask for transfer learning: freeze the first ``n_frozen``
+    Dense layers, retrain the rest — the reference freezes layers 1-6 of its
+    8-layer net and retrains the 7th hidden layer + linear head
+    (Transfer_Learning.py:93-102 'trainable = False' rows)."""
+    def trainable(path, _):
+        for p in path:
+            if hasattr(p, "key") and str(p.key).startswith("Dense_"):
+                return int(str(p.key).split("_")[1]) >= n_frozen
+        return True
+    return jax.tree.map_with_path(trainable, params)
+
+
 def head_only_mask(params):
-    """Trainable-mask freezing everything except the last Dense layer
-    (Transfer_Learning.py freezes the first 6 layers)."""
+    """Trainable-mask freezing everything except the last Dense layer (a
+    stricter variant of transfer_mask; kept for head-probing experiments)."""
     layers = sorted(params["params"].keys())
-    last = layers[-1]
-    return jax.tree.map_with_path(
-        lambda path, _: any(last == p.key for p in path if hasattr(p, "key")),
-        params)
+    return transfer_mask(params, n_frozen=int(layers[-1].split("_")[1]))
 
 
 def apriori_eval(model: "ClosureModel", u_bar, pi_true):

@@ -310,7 +310,13 @@ def train(env: Env, rl_cfg: Optional[vracer.VracerConfig] = None,
 
 
 def evaluate(env: Env, rl_cfg, ts, key, n_episodes: int = 8):
-    """Deterministic-policy evaluation; returns per-episode returns (n,na)."""
-    traj, final = collect_episodes(env, rl_cfg, ts, key, n_episodes,
-                                   deterministic=True)
+    """Deterministic-policy evaluation; returns per-episode returns (n,na).
+
+    Jitted with consts passed as an ARGUMENT: eager (op-by-op) dispatch is
+    both slow and unsupported on remote-compile backends (the axon TPU tunnel
+    raises UNIMPLEMENTED on eager-built programs)."""
+    run = jax.jit(lambda ts_, key_, consts: collect_episodes(
+        env, rl_cfg, ts_, key_, n_episodes, 0, deterministic=True,
+        consts=consts))
+    _traj, final = run(ts, key, env.consts)
     return np.asarray(final.cum_reward)
