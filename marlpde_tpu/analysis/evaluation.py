@@ -253,12 +253,16 @@ def simple_env_testing(env, rl_cfg, ts, out_dir: str, key=None):
             return adv_mod.analytical_sinus(st.solver, cfg.solver)
         return None
 
-    def episode(consts, t, k):
+    def episode(consts, t, k, zero=False):
         state, obs = env.reset(consts, k, jnp.asarray(0))
 
         def macro(carry, _):
             st, ob = carry
-            a = vracer.act_deterministic(rl_cfg, t, ob)
+            if zero:
+                a = jnp.zeros((env.num_agents, env.act_dim),
+                              st.solver.u.dtype)
+            else:
+                a = vracer.act_deterministic(rl_cfg, t, ob)
             st2, ob2, rew, done, _ = env.step(consts, st, a)
             out = dict(u=st2.solver.u, actions=a, reward=rew)
             tr = truth_of(st2)
@@ -287,6 +291,22 @@ def simple_env_testing(env, rl_cfg, ts, out_dir: str, key=None):
                                  os.path.join(out_dir, "actionfield.png"))
     plotting.plot_action_distribution(a, os.path.join(out_dir, "actiondist.png"))
     plotting.plot_field_contour(x, tt, uu, os.path.join(out_dir, "field.png"))
+
+    # the older inline-plot variant's 3x6 truth/uncontrolled/controlled panel
+    # (advection_environment.py:121-223 — the same makePlot family: field
+    # contours, error traces, end spectra, action trajectories)
+    if sol is not None:
+        traj_b, _ = jax.jit(
+            lambda c, t, k: episode(c, t, k, zero=True))(env.consts, ts, key)
+        ek = lambda f: np.asarray(jax.jit(lambda u_: diagnostics.compute_ek(
+            spectral.fft(u_), cfg.solver.grid.dx)["Ek_ktt"])(f))
+        mkd = lambda f, act=None: dict(
+            x=x, tt=tt, uu=np.asarray(f), ek_ktt=ek(jnp.asarray(np.asarray(f))),
+            **({} if act is None else
+               dict(action_fields=np.asarray(act).reshape(len(uu), -1))))
+        plotting.make_plot(mkd(sol), mkd(traj_b["u"], traj_b["actions"]),
+                           mkd(traj["u"], traj["actions"]),
+                           os.path.join(out_dir, "compare"), spectral=False)
     return dict(cumreward=np.asarray(final.cum_reward), uu=uu, solution=sol)
 
 

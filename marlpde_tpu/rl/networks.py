@@ -20,6 +20,13 @@ class VracerNet(nn.Module):
     n_hidden: int = 2
     init_noise: float = 0.1       # initial sigma (iex)
     sigma_floor: float = 1e-5
+    # Exploration-sigma ceiling.  korali leaves sigma unbounded; in long
+    # spectral-reward runs the policy gradient can inflate sigma without
+    # limit (observed: 0.2 -> 5.9 over 1e5 updates, degrading collection
+    # while the deterministic policy stays good).  Beyond the action RANGE a
+    # clipped-normal is effectively a bound-sampler anyway, so capping there
+    # loses nothing.  inf = korali-faithful unbounded (default).
+    sigma_max: float = np.inf
 
     @nn.compact
     def __call__(self, obs):
@@ -31,4 +38,6 @@ class VracerNet(nn.Module):
         raw = nn.Dense(self.act_dim, kernel_init=nn.initializers.zeros)(h)
         # softplus(0) = log 2, so raw=0 yields sigma = init_noise exactly
         sigma = nn.softplus(raw) * (self.init_noise / float(np.log(2.0))) + self.sigma_floor
+        if np.isfinite(self.sigma_max):
+            sigma = self.sigma_max * nn.tanh(sigma / self.sigma_max)
         return v, mu, sigma

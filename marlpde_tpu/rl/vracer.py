@@ -90,6 +90,10 @@ class VracerConfig:
     # statistics (squaring a ~1e35 pre-blowup field overflows f32 and turns
     # the normalizer std into NaN for good).  Set to inf to disable.
     obs_stat_bound: float = 1e6
+    # Exploration-sigma ceiling (networks.VracerNet.sigma_max): inf keeps
+    # korali's unbounded sigma; a finite cap (e.g. the action range) prevents
+    # the late-training sigma runaway observed on long spectral-reward runs.
+    sigma_max: float = np.inf
     # Acting-path policy forward: 'xla' (flax apply) or 'pallas' (the fused
     # VMEM-resident MLP kernel, ops/mlp_pallas.py — requires n_hidden=2).
     # Only act/act_deterministic/policy_apply dispatch on this; the loss
@@ -117,7 +121,8 @@ class TrainState(struct.PyTreeNode):
 
 def make_net(cfg: VracerConfig) -> networks.VracerNet:
     return networks.VracerNet(act_dim=cfg.act_dim, width=cfg.width,
-                              n_hidden=cfg.n_hidden, init_noise=cfg.init_noise)
+                              n_hidden=cfg.n_hidden, init_noise=cfg.init_noise,
+                              sigma_max=cfg.sigma_max)
 
 
 def make_optimizer(cfg: VracerConfig):
@@ -153,6 +158,8 @@ def policy_apply(cfg: VracerConfig, ts: TrainState, obs):
         lead = obs.shape[:-1]
         V, mu, sigma = mlp_pallas.mlp_forward(
             x.reshape(-1, cfg.obs_dim), ts.params, init_noise=cfg.init_noise)
+        if np.isfinite(cfg.sigma_max):
+            sigma = cfg.sigma_max * jnp.tanh(sigma / cfg.sigma_max)
         return (V.reshape(lead), mu.reshape(lead + (cfg.act_dim,)),
                 sigma.reshape(lead + (cfg.act_dim,)))
     return make_net(cfg).apply(ts.params, x)

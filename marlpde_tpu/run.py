@@ -56,6 +56,12 @@ def build_parser():
     p.add_argument("--ndns", type=int, default=1)
     p.add_argument("--nagents", "--numAgents", dest="nagents", type=int, default=None)
     p.add_argument("--test", action="store_true")
+    p.add_argument("--best", action="store_true",
+                   help="with --test: evaluate the best-test-return "
+                        "checkpoint (<result>/best/) instead of the final one")
+    p.add_argument("--sigma-max", type=float, default=np.inf,
+                   help="exploration-sigma ceiling (networks.VracerNet."
+                        "sigma_max); inf = korali-faithful unbounded")
     # learner flags
     p.add_argument("--learner", type=str, default="vracer",
                    choices=["vracer", "apg"],
@@ -77,6 +83,13 @@ def build_parser():
     p.add_argument("--mbsize", type=int, default=256,
                    help='korali e["Solver"]["Mini Batch Size"] '
                         "(run-vracer-burger.py:132; experience mode only)")
+    p.add_argument("--rstart", type=int, default=None,
+                   help='Experience Replay Start Size (default: the burger '
+                        'drivers\' 20000*episodelength/500; diffusion drivers '
+                        'use 32768)')
+    p.add_argument("--rmax", type=int, default=None,
+                   help='Experience Replay Maximum Size (default: '
+                        '100000*episodelength/500; diffusion drivers use 2^20)')
     p.add_argument("--expperu", type=float, default=0.5,
                    help="Experiences Between Policy Updates "
                         "(run-vracer-burger.py:32); replay reuse = 256/expperu")
@@ -207,11 +220,13 @@ def make_workload(args):
         env, width=args.width, gamma=gamma, lr=args.lr, init_noise=args.iex,
         multi_agent_relationship=args.mar,
         multi_agent_correlation=args.mac,
-        policy_impl=args.policy_impl,
+        policy_impl=args.policy_impl, sigma_max=args.sigma_max,
         minibatch_mode=args.minibatch, mini_batch_size=args.mbsize,
         experiences_between_updates=args.expperu,
-        replay_start_experiences=20000 * args.episodelength // 500,
-        replay_max_experiences=100000 * args.episodelength // 500)
+        replay_start_experiences=args.rstart if args.rstart is not None
+        else 20000 * args.episodelength // 500,
+        replay_max_experiences=args.rmax if args.rmax is not None
+        else 100000 * args.episodelength // 500)
     tc = trainer.TrainerConfig(num_envs=args.numenvs, max_experiences=args.NE,
                                reuse_ratio=args.mbsize / args.expperu,
                                max_updates_per_gen=args.maxupd,
@@ -243,6 +258,18 @@ def run_cmaes(args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    # persistent compilation cache: the axon remote-compile tunnel is slow
+    # and occasionally drops mid-run; cached executables let a retry go
+    # straight to execution (same setup as bench.py)
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                         "/tmp/jax_comp_cache"))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
     if args.bf16:
         import jax
         jax.config.update("jax_default_matmul_precision", "bfloat16")
@@ -308,9 +335,11 @@ def main(argv=None):
 
     if args.test:
         import jax
-        ts = ckpt.load_train_state(result_dir, rl_cfg)
+        load_dir = (os.path.join(result_dir, "best") if args.best
+                    else result_dir)
+        ts = ckpt.load_train_state(load_dir, rl_cfg)
         if ts is None:
-            raise SystemExit(f"--test: no checkpoint in {result_dir}")
+            raise SystemExit(f"--test: no checkpoint in {load_dir}")
         rets = trainer.evaluate(env, rl_cfg, ts, jax.random.key(args.seed),
                                 args.testepisodes)
         r = np.asarray(rets)

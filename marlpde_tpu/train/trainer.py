@@ -210,6 +210,8 @@ def train(env: Env, rl_cfg: Optional[vracer.VracerConfig] = None,
         episode_base = (history["gen"][-1] if history.get("gen") else 0) * tc.num_envs
         gen = history["gen"][-1] if history.get("gen") else 0
     t0 = time.time()
+    best_test = [max([t for t in history.get("test_return", [])] or
+                     [-np.inf])]
     T = env.episode_length
     new_exp_per_gen = tc.num_envs * T
     upd_per_gen = updates_per_generation(rl_cfg, tc, T)
@@ -286,7 +288,20 @@ def train(env: Env, rl_cfg: Optional[vracer.VracerConfig] = None,
         if tc.testing_frequency and gen % tc.testing_frequency == 0:
             key, k_t = jax.random.split(key)
             ttraj, tfinal = collect_det(ts, k_t, jnp.asarray(0), env.consts)
-            history["test_return"].append(float(tfinal.cum_reward.mean()))
+            tret = float(tfinal.cum_reward.mean())
+            history["test_return"].append(tret)
+            # best-policy checkpoint (by deterministic test return): long
+            # off-policy runs can degrade past their peak; `--test --best`
+            # evaluates the peak policy instead of the final one
+            if tc.checkpoint_dir and tret > best_test[0]:
+                best_test[0] = tret
+                from marlpde_tpu.utils import checkpoint as ckpt
+                ckpt.save_train_state(os.path.join(tc.checkpoint_dir, "best"),
+                                      ts, None)
+                with open(os.path.join(tc.checkpoint_dir, "best",
+                                       "best.json"), "w") as f:
+                    import json as _json
+                    _json.dump({"gen": gen, "test_return": tret}, f)
         if tc.checkpoint_dir and gen % tc.checkpoint_every == 0:
             from marlpde_tpu.utils import checkpoint as ckpt
             ckpt.save_train_state(tc.checkpoint_dir, ts, history)

@@ -335,6 +335,10 @@ class TestTestingArtifacts:
         if name != "laplace":
             assert out["solution"] is not None
             assert np.isfinite(out["solution"]).all()
+            # the older inline-plot 3x6 truth/uncontrolled/controlled panel
+            # (advection_environment.py:121-223)
+            assert (tmp_path / "compare.png").exists()
+            assert (tmp_path / "compare_evolution.png").exists()
 
     def test_cli_test_mode_writes_plots(self, tmp_path, monkeypatch):
         from marlpde_tpu import run as cli

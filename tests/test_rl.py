@@ -553,3 +553,61 @@ class TestBlowupContainment:
         finite = all(np.all(np.isfinite(np.asarray(l)))
                      for l in jax.tree.leaves(ts.params))
         assert not finite, "expected NaN poisoning with floor disabled"
+
+
+class TestSigmaMax:
+    """Optional exploration-sigma ceiling (networks.VracerNet.sigma_max):
+    inf = korali-faithful unbounded; finite = smooth tanh cap."""
+
+    def test_unbounded_default_matches_iex_at_init(self):
+        from marlpde_tpu.rl import networks
+        net = networks.VracerNet(act_dim=2, width=8, init_noise=0.7)
+        obs = jnp.zeros((3, 4))
+        p = net.init(jax.random.key(0), obs)
+        _, _, sigma = net.apply(p, obs)
+        np.testing.assert_allclose(np.asarray(sigma), 0.7, rtol=1e-4)
+
+    def test_cap_bounds_sigma(self, rng):
+        from marlpde_tpu.rl import networks
+        net = networks.VracerNet(act_dim=2, width=8, init_noise=0.5,
+                                 sigma_max=2.0)
+        obs = jnp.asarray(rng.standard_normal((64, 4)) * 50)
+        p = net.init(jax.random.key(1), obs[:1])
+        # inflate the sigma head to force a large raw output
+        p = jax.tree.map(lambda a: a * 30.0, p)
+        _, _, sigma = net.apply(p, obs)
+        assert float(sigma.max()) <= 2.0 + 1e-6
+        # small sigmas barely affected: tanh(x)~x
+        net2 = networks.VracerNet(act_dim=2, width=8, init_noise=0.1,
+                                  sigma_max=10.0)
+        p2 = net2.init(jax.random.key(2), obs[:1])
+        _, _, s2 = net2.apply(p2, obs)
+        np.testing.assert_allclose(np.asarray(s2), 0.1, rtol=1e-3)
+
+    def test_config_threads_through_policy(self):
+        cfg = vracer.VracerConfig(obs_dim=4, act_dim=1, width=8,
+                                  init_noise=0.3, sigma_max=1.5,
+                                  state_rescaling=False)
+        ts = vracer.init_train(cfg, jax.random.key(0))
+        _, _, sigma = vracer.policy_apply(cfg, ts, jnp.zeros((2, 1, 4)))
+        assert float(sigma.max()) <= 1.5
+
+
+class TestBestCheckpoint:
+    def test_best_saved_by_test_return(self, tmp_path):
+        from marlpde_tpu.envs import registry
+        from marlpde_tpu.utils import checkpoint as ckpt
+        env = registry.make_env("diffusion-simple", N=8, episode_length=6,
+                                noise=0.0)
+        rl = trainer.default_rl_config(env, width=8,
+                                       replay_start_experiences=12)
+        tc = trainer.TrainerConfig(num_envs=2, max_experiences=60, seed=0,
+                                   testing_frequency=1, testing_episodes=2,
+                                   checkpoint_dir=str(tmp_path))
+        ts, rep, hist = trainer.train(env, rl, tc, verbose=False)
+        import json as _json
+        assert (tmp_path / "best" / "latest.pkl").exists()
+        meta = _json.load(open(tmp_path / "best" / "best.json"))
+        assert meta["test_return"] == max(hist["test_return"])
+        back = ckpt.load_train_state(str(tmp_path / "best"), rl)
+        assert back is not None
