@@ -102,6 +102,12 @@ def build_parser():
                    help="CMA-ES generations (run-cmaes-burger.py:7)")
     # trainer flags
     p.add_argument("--numenvs", type=int, default=16, help="episodes per generation")
+    p.add_argument("--realexp", action="store_true",
+                   help="korali-faithful experience accounting: count only "
+                        "live (unmasked) env-steps toward --NE, the replay-"
+                        "start gate, and updates/gen (matters for early-"
+                        "terminating workloads like diffusion-simple); "
+                        "forces the unfused trainer path")
     p.add_argument("--maxupd", type=int, default=200,
                    help="cap on gradient updates per generation (the korali "
                         "economics NE/expperu can exceed it; raise to match)")
@@ -232,7 +238,8 @@ def make_workload(args):
                                max_updates_per_gen=args.maxupd,
                                seed=args.seed, fused=args.fused,
                                testing_frequency=args.testfreq,
-                               testing_episodes=args.testepisodes)
+                               testing_episodes=args.testepisodes,
+                               count_real_experiences=args.realexp)
     if args.save_episodes:
         tc = dataclasses.replace(
             tc, save_episodes_dir=f"_result_{args.workload}_{args.run}/episodes")

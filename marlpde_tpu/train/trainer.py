@@ -54,6 +54,17 @@ class TrainerConfig:
     # high-latency backends (the axon TPU tunnel); the RNG stream is identical
     # to the unfused path (tests/test_rl.py::TestFusedGeneration).
     fused: bool = False
+    # korali-faithful experience accounting: count only LIVE env-steps
+    # (mask==1) toward Max Experiences, the replay-start gate, and the
+    # update economics (updates/gen = real new experiences / `Experiences
+    # Between Policy Updates`), exactly as korali does for early-terminating
+    # episodes (diffusion_environment_simple.py:70-71 stops at cumreward<0,
+    # so episodes contribute ~10-20 experiences, not episodeLength).  The
+    # default False counts padded episodes (num_envs*T/gen) — cheaper on TPU
+    # (no per-generation D2H mask readback) and equivalent for fixed-length
+    # workloads.  Unfused path only (the fused program bakes a static update
+    # count); train() falls back to unfused when set.
+    count_real_experiences: bool = False
 
 
 def default_rl_config(env: Env, **overrides) -> vracer.VracerConfig:
@@ -216,14 +227,19 @@ def train(env: Env, rl_cfg: Optional[vracer.VracerConfig] = None,
     new_exp_per_gen = tc.num_envs * T
     upd_per_gen = updates_per_generation(rl_cfg, tc, T)
     fused_generation = build_fused_generation(env, rl_cfg, tc, upd_per_gen)
+    real_mode = tc.count_real_experiences
+    exp_per_update = (rl_cfg.mini_batch_size if exp_mode
+                      else rl_cfg.mini_batch_episodes * T)
+    real_in_replay = 0   # live experiences inserted (replay-start gate)
 
     while total_exp < tc.max_experiences:
         key, k_c, k_u = jax.random.split(key, 3)
-        if tc.fused:
+        if tc.fused and not real_mode:
             ts, rep, traj, final, metrics, stats = fused_generation(
                 ts, rep, k_c, k_u, jnp.asarray(episode_base), env.consts)
             episode_base += tc.num_envs
-            total_exp += new_exp_per_gen
+            gen_exp = new_exp_per_gen
+            total_exp += gen_exp
             gen += 1
             n_upd = int(stats["n_upd"])
             metrics = metrics if n_upd else {}
@@ -237,17 +253,30 @@ def train(env: Env, rl_cfg: Optional[vracer.VracerConfig] = None,
                 rep = add(rep, traj)
                 ts = observe(ts, traj)
             episode_base += tc.num_envs
-            total_exp += new_exp_per_gen
+            if real_mode:
+                gen_exp = int(np.asarray(traj["mask"]).sum())
+                real_in_replay += gen_exp
+            else:
+                gen_exp = new_exp_per_gen
+            total_exp += gen_exp
             gen += 1
 
             metrics = {}
             n_upd = 0
             step_fn = do_update_exp if exp_mode else do_update
-            if int(rep.filled) >= rl_cfg.replay_start_episodes:
-                for i in range(upd_per_gen):
-                    k_u, k_i = jax.random.split(k_u)
-                    ts, rep, metrics = step_fn(ts, rep, k_i)
-                    n_upd += 1
+            if real_mode:
+                started = real_in_replay >= rl_cfg.replay_start_experiences
+                n_target = (int(min(tc.max_updates_per_gen,
+                                    max(0.0, gen_exp * tc.reuse_ratio
+                                        / exp_per_update)))
+                            if started else 0)
+            else:
+                started = int(rep.filled) >= rl_cfg.replay_start_episodes
+                n_target = upd_per_gen if started else 0
+            for i in range(n_target):
+                k_u, k_i = jax.random.split(k_u)
+                ts, rep, metrics = step_fn(ts, rep, k_i)
+                n_upd += 1
 
         mean_ret = float(final.cum_reward.mean())
         ep_len = float(traj["mask"].sum(1).mean())
@@ -258,7 +287,7 @@ def train(env: Env, rl_cfg: Optional[vracer.VracerConfig] = None,
         history["updates"].append(n_upd)
         history["metrics"].append({k: float(v) for k, v in metrics.items()})
         history["wall_time"].append(time.time() - t0)
-        throughput.tick(new_exp_per_gen)
+        throughput.tick(gen_exp)
         history["env_steps_per_s"].append(throughput.rate())
 
         if tc.save_episodes_dir:

@@ -392,6 +392,41 @@ class TestRunningStats:
         np.testing.assert_allclose(np.asarray(rs.std), data.std(0), atol=0.1)
 
 
+class TestRealExperienceAccounting:
+    def test_counts_live_steps_and_gates_updates(self):
+        """count_real_experiences: total_exp increments by the masked step
+        count (korali counts only live experiences — diffusion-simple
+        episodes early-stop at cumreward<0 after ~10-20 steps), the replay
+        gate opens on real experiences, and updates/gen follow the korali
+        economics (new real exp * reuse / minibatch)."""
+        env = registry.make_env("diffusion-simple", N=8, episode_length=40,
+                                noise=0.5)
+        rl_cfg = trainer.default_rl_config(
+            env, width=8, gamma=0.95, init_noise=3.0,
+            minibatch_mode="experience", mini_batch_size=16,
+            replay_start_experiences=30, replay_max_experiences=4000)
+        tc = trainer.TrainerConfig(
+            num_envs=4, max_experiences=200, reuse_ratio=16.0,
+            max_updates_per_gen=50, seed=0, count_real_experiences=True,
+            fused=True)   # real mode must force the unfused path
+        ts, rep, hist = trainer.train(env, rl_cfg, tc, verbose=False)
+        exp = np.asarray(hist["experiences"])
+        d_exp = np.diff(np.concatenate([[0], exp]))
+        eplen = np.asarray(hist["mean_ep_len"])
+        # each generation's increment is the live-step count, not num_envs*T
+        np.testing.assert_allclose(d_exp, eplen * tc.num_envs, rtol=1e-6)
+        assert exp[-1] < len(exp) * tc.num_envs * env.episode_length
+        # korali economics once the gate opens: 1 update per
+        # (mini_batch/reuse)=1 new experience, capped at max_updates_per_gen
+        upd = np.asarray(hist["updates"])
+        cum = np.cumsum(d_exp)
+        for i, u in enumerate(upd):
+            if cum[i] < rl_cfg.replay_start_experiences:
+                assert u == 0, (i, u)
+            else:
+                assert u == min(tc.max_updates_per_gen, int(d_exp[i])), (i, u)
+
+
 class TestLearning:
     @pytest.mark.slow
     def test_diffusion_simple_policy_improves(self):
