@@ -25,6 +25,10 @@ from marlpde_tpu.envs.rollout import Env, collect_episodes
 from marlpde_tpu.rl import replay as replay_mod
 from marlpde_tpu.rl import vracer
 
+# updates per jitted scan in trainer.train's unfused update loop (chunking is
+# RNG-transparent; see make_update_scan)
+UPDATE_CHUNK = 25
+
 
 @dataclasses.dataclass(frozen=True)
 class TrainerConfig:
@@ -205,6 +209,33 @@ def train(env: Env, rl_cfg: Optional[vracer.VracerConfig] = None,
     def do_update_exp(ts_, rep_, key_):
         return vracer.update_experience(rl_cfg, ts_, rep_, key_)
 
+    step_fn = do_update_exp if exp_mode else do_update
+
+    def make_update_scan(n):
+        """n sequential updates as ONE program, threading the generation
+        update key exactly like the legacy per-dispatch loop
+        (k_u, k_i = split(k_u) per step), so the key stream — and therefore
+        the whole run — is bitwise-identical for any chunking."""
+        @jax.jit
+        def run(ts_, rep_, k_u_):
+            def body(carry, _):
+                ts_c, rep_c, k_c = carry
+                k2, k_i = jax.random.split(k_c)
+                ts2, rep2, m = step_fn(ts_c, rep_c, k_i)
+                return (ts2, rep2, k2), m
+            (ts2, rep2, k2), ms = jax.lax.scan(
+                body, (ts_, rep_, k_u_), None, length=n)
+            return ts2, rep2, k2, jax.tree.map(lambda x: x[-1], ms)
+        return run
+
+    run_update_chunk = make_update_scan(UPDATE_CHUNK)
+    _rem_cache = {}
+
+    def run_update_rem(n):
+        if n not in _rem_cache:
+            _rem_cache[n] = make_update_scan(n)
+        return _rem_cache[n]
+
     from marlpde_tpu.utils.profiling import Throughput
     throughput = Throughput()
     history = init_history if init_history else dict(
@@ -263,7 +294,6 @@ def train(env: Env, rl_cfg: Optional[vracer.VracerConfig] = None,
 
             metrics = {}
             n_upd = 0
-            step_fn = do_update_exp if exp_mode else do_update
             if real_mode:
                 started = real_in_replay >= rl_cfg.replay_start_experiences
                 n_target = (int(min(tc.max_updates_per_gen,
@@ -273,10 +303,18 @@ def train(env: Env, rl_cfg: Optional[vracer.VracerConfig] = None,
             else:
                 started = int(rep.filled) >= rl_cfg.replay_start_episodes
                 n_target = upd_per_gen if started else 0
-            for i in range(n_target):
-                k_u, k_i = jax.random.split(k_u)
-                ts, rep, metrics = step_fn(ts, rep, k_i)
-                n_upd += 1
+            # chunked update scans: same key-split sequence as n_target
+            # individual dispatches (bitwise-identical to the legacy loop and
+            # to the fused program), but ~UPDATE_CHUNK x fewer dispatches —
+            # the per-dispatch overhead dominated generations with korali
+            # economics (hundreds of updates/gen)
+            n_full, rem = divmod(n_target, UPDATE_CHUNK)
+            for _ in range(n_full):
+                ts, rep, k_u, metrics = run_update_chunk(ts, rep, k_u)
+                n_upd += UPDATE_CHUNK
+            if rem:
+                ts, rep, k_u, metrics = run_update_rem(rem)(ts, rep, k_u)
+                n_upd += rem
 
         mean_ret = float(final.cum_reward.mean())
         ep_len = float(traj["mask"].sum(1).mean())

@@ -54,9 +54,11 @@ def run_one(mode: str, seed: int, ne: float, numenvs: int, eplen: int,
         # korali ER sizes for the diffusion drivers (Start 32768, Max 2^20,
         # run-vracer-diffusion-simple.py:73-74)
         replay_start_experiences=32768, replay_max_experiences=2**20)
+    # korali-faithful accounting: episodes early-stop after ~10-20 live steps
+    # (cumreward<0), and korali counts/updates on REAL experiences
     tc = trainer.TrainerConfig(
         num_envs=numenvs, max_experiences=ne, reuse_ratio=256.0,
-        max_updates_per_gen=200, seed=seed, fused=True,
+        max_updates_per_gen=500, seed=seed, count_real_experiences=True,
         testing_frequency=testfreq, testing_episodes=10)
 
     ts, _, hist = trainer.train(env, rl_cfg, tc, verbose=True)
