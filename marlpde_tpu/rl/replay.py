@@ -120,11 +120,20 @@ def sample_experiences(rep: Replay, key, n: int) -> dict:
       obs/actions/mu/sigma (n, na, ...), rewards (n, na),
       vtg_next (n, na)  = stored vtg[ep, t+1], or boot[ep] at episode ends,
       ep, t (n,)        = indices for scatter_vtg write-back.
+
+    Masks are prefix-contiguous (an episode is live from t=0 until its
+    termination), so a uniform draw over valid slots is a uniform integer in
+    [0, total_live) mapped through the per-episode length prefix sum — O(C+n)
+    instead of the naive (n, C*T) gumbel-max categorical, which at korali
+    replay sizes (2^20 experiences) moved ~1 GB of noise per 256-sample
+    minibatch.
     """
     C, T = rep.mask.shape
-    logits = jnp.where(rep.mask.reshape(-1) > 0, 0.0, -jnp.inf)
-    flat = jax.random.categorical(key, logits, shape=(n,))
-    ep, t = flat // T, flat % T
+    lengths = rep.mask.sum(axis=1).astype(jnp.int32)      # (C,)
+    cum = jnp.cumsum(lengths)                             # (C,)
+    u = jax.random.randint(key, (n,), 0, jnp.maximum(cum[-1], 1))
+    ep = jnp.searchsorted(cum, u, side="right").astype(jnp.int32)
+    t = u - jnp.where(ep > 0, cum[jnp.maximum(ep - 1, 0)], 0)
     t_next = jnp.minimum(t + 1, T - 1)
     has_next = (t + 1 < T) & (rep.mask[ep, t_next] > 0)
     vtg_next = jnp.where(has_next[:, None], rep.vtg[ep, t_next], rep.boot[ep])
