@@ -28,8 +28,21 @@ def log(msg):
 
 # persistent compilation cache: the axon remote-compile tunnel is slow and
 # occasionally drops mid-run; cached executables let a retry go straight to
-# execution
-_CACHE_DIR = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+# execution.  Keyed by the host CPU feature set — XLA:CPU AOT entries are
+# machine-specific and a foreign cache floods stderr with cpu_aot_loader
+# errors.
+def _host_cache_dir():
+    import hashlib
+    import platform
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = [ln for ln in f if ln.startswith("flags")][0]
+    except Exception:
+        flags = platform.processor()
+    return f"/tmp/jax_comp_cache_{hashlib.sha1(flags.encode()).hexdigest()[:8]}"
+
+
+_CACHE_DIR = os.environ.get("JAX_COMPILATION_CACHE_DIR", _host_cache_dir())
 try:
     jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

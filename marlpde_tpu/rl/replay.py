@@ -14,17 +14,11 @@ layout stores whole fixed-length episodes:
                                  ("Truncated" in the reference,
                                  burger_environment.py:201 — the learner then
                                  bootstraps value targets from V(final_obs))
-  vtg      (C, T, na)            stored retrace (V-trace) value estimates, used
-                                 by the korali-style uniform-experience
-                                 minibatch mode (vracer minibatch_mode=
-                                 "experience"); computed at insertion and
-                                 lazily refreshed when sampled, exactly
-                                 korali's "Retrace Value" bookkeeping
-  boot     (C, na)               stored V(s_T) bootstrap for truncated
-                                 episodes (korali "Truncated State Value"),
-                                 zero for terminal ones
   filled   ()                    number of valid episode slots
   cursor   ()                    ring-buffer write head
+
+The korali-style uniform-EXPERIENCE minibatch mode stores its buffer in
+replay_flat.FlatReplay instead (per-experience REFER metadata).
 
 Capacity C is in episodes (max_experiences // T).  Insertion overwrites the
 oldest episode (korali's replay is FIFO over experiences, same effect).
@@ -47,8 +41,6 @@ class Replay(struct.PyTreeNode):
     mask: jax.Array
     final_obs: jax.Array
     truncated: jax.Array
-    vtg: jax.Array
-    boot: jax.Array
     filled: jax.Array     # int32
     cursor: jax.Array     # int32
 
@@ -68,8 +60,6 @@ def init(capacity: int, T: int, na: int, obs_dim: int, act_dim: int,
         mask=jnp.zeros((capacity, T), dtype),
         final_obs=jnp.zeros((capacity, na, obs_dim), dtype),
         truncated=jnp.zeros((capacity,), bool),
-        vtg=jnp.zeros((capacity, T, na), dtype),
-        boot=jnp.zeros((capacity, na), dtype),
         filled=jnp.zeros((), jnp.int32),
         cursor=jnp.zeros((), jnp.int32))
 
@@ -92,10 +82,6 @@ def add_episodes(rep: Replay, batch: dict) -> Replay:
         mask=put(rep.mask, batch["mask"]),
         final_obs=put(rep.final_obs, batch["final_obs"]),
         truncated=rep.truncated.at[idx].set(batch["truncated"]),
-        vtg=put(rep.vtg, batch["vtg"]) if "vtg" in batch
-            else rep.vtg.at[idx].set(0.0),
-        boot=put(rep.boot, batch["boot"]) if "boot" in batch
-            else rep.boot.at[idx].set(0.0),
         filled=jnp.minimum(rep.filled + B, C),
         cursor=(rep.cursor + B) % C)
 
@@ -107,51 +93,6 @@ def sample_episodes(rep: Replay, key, n: int) -> dict:
                 sigma=rep.sigma[idx], rewards=rep.rewards[idx],
                 mask=rep.mask[idx], final_obs=rep.final_obs[idx],
                 truncated=rep.truncated[idx])
-
-
-def sample_experiences(rep: Replay, key, n: int) -> dict:
-    """Uniformly sample n individual EXPERIENCES (korali Mini Batch Size=256
-    semantics, run-vracer-burger.py:132): each valid (episode, t) pair is
-    equally likely, including across truncated (shorter) episodes — drawn as a
-    categorical over the flattened mask, so empty slots and post-termination
-    steps have probability zero.
-
-    Returns per-experience rows plus the stored next-step retrace values:
-      obs/actions/mu/sigma (n, na, ...), rewards (n, na),
-      vtg_next (n, na)  = stored vtg[ep, t+1], or boot[ep] at episode ends,
-      ep, t (n,)        = indices for scatter_vtg write-back.
-
-    Masks are prefix-contiguous (an episode is live from t=0 until its
-    termination), so a uniform draw over valid slots is a uniform integer in
-    [0, total_live) mapped through the per-episode length prefix sum — O(C+n)
-    instead of the naive (n, C*T) gumbel-max categorical, which at korali
-    replay sizes (2^20 experiences) moved ~1 GB of noise per 256-sample
-    minibatch.
-    """
-    C, T = rep.mask.shape
-    lengths = rep.mask.sum(axis=1).astype(jnp.int32)      # (C,)
-    cum = jnp.cumsum(lengths)                             # (C,)
-    u = jax.random.randint(key, (n,), 0, jnp.maximum(cum[-1], 1))
-    ep = jnp.searchsorted(cum, u, side="right").astype(jnp.int32)
-    t = u - jnp.where(ep > 0, cum[jnp.maximum(ep - 1, 0)], 0)
-    t_next = jnp.minimum(t + 1, T - 1)
-    has_next = (t + 1 < T) & (rep.mask[ep, t_next] > 0)
-    vtg_next = jnp.where(has_next[:, None], rep.vtg[ep, t_next], rep.boot[ep])
-    return dict(obs=rep.obs[ep, t], actions=rep.actions[ep, t],
-                mu=rep.mu[ep, t], sigma=rep.sigma[ep, t],
-                rewards=rep.rewards[ep, t], vtg_next=vtg_next,
-                truncated=rep.truncated[ep], final_obs=rep.final_obs[ep],
-                is_last=~has_next, ep=ep, t=t)
-
-
-def scatter_vtg(rep: Replay, ep, t, new_vtg, new_boot=None) -> Replay:
-    """Write back lazily-refreshed retrace values for sampled experiences
-    (korali updateExperienceMetadata equivalent).  ``new_boot`` refreshes the
-    truncated-state bootstrap V(s_T) for the touched episodes."""
-    rep = rep.replace(vtg=rep.vtg.at[ep, t].set(new_vtg.astype(rep.vtg.dtype)))
-    if new_boot is not None:
-        rep = rep.replace(boot=rep.boot.at[ep].set(new_boot.astype(rep.boot.dtype)))
-    return rep
 
 
 def num_experiences(rep: Replay) -> jax.Array:

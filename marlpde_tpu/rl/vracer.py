@@ -100,6 +100,16 @@ class VracerConfig:
     # functions always differentiate the flax apply.  Parity is tested in
     # tests/test_pallas.py::TestPolicyImplParity.
     policy_impl: str = "xla"               # 'xla' | 'pallas'
+    # korali State Rescaling semantics: coefficients are computed from the
+    # replay-start buffer and FROZEN once policy updates begin (see
+    # observe_episodes).  False keeps the round-2 continuously-updated stats.
+    freeze_state_rescaling: bool = True
+    # Episode-ring capacity of the flat experience replay (experience mode);
+    # None -> max(replay_max_experiences // 4, 1024).  Episodes averaging
+    # fewer than max_experiences/this steps could wrap the episode ring while
+    # their experiences are still live (only degrades truncated-episode
+    # bootstraps; experience data itself is immune).
+    replay_episode_capacity: int | None = None
 
     @property
     def replay_capacity_episodes(self) -> int:
@@ -108,6 +118,12 @@ class VracerConfig:
     @property
     def replay_start_episodes(self) -> int:
         return max(self.replay_start_experiences // self.episode_length, 1)
+
+    @property
+    def flat_episode_capacity(self) -> int:
+        if self.replay_episode_capacity is not None:
+            return self.replay_episode_capacity
+        return max(self.replay_max_experiences // 4, 1024)
 
 
 class TrainState(struct.PyTreeNode):
@@ -178,7 +194,13 @@ def act_deterministic(cfg: VracerConfig, ts: TrainState, obs):
 
 
 def observe_episodes(cfg: VracerConfig, ts: TrainState, batch) -> TrainState:
-    """Update normalizer statistics from freshly collected episodes."""
+    """Update normalizer statistics from freshly collected episodes.
+
+    korali freezes State Rescaling after the initial exploration phase: the
+    coefficients are computed once from the replay-start buffer and applied
+    unchanged for the rest of the run, so the network never chases a drifting
+    input normalization.  We reproduce that by accumulating observation stats
+    only until the first policy update (``freeze_state_rescaling``)."""
     new_obs = ts.obs_stats
     new_rew = ts.rew_stats
     mask_sa = jnp.broadcast_to(batch["mask"][..., None], batch["rewards"].shape)
@@ -189,6 +211,8 @@ def observe_episodes(cfg: VracerConfig, ts: TrainState, batch) -> TrainState:
             ok = (jnp.abs(batch["obs"]).max(-1, keepdims=True)
                   <= cfg.obs_stat_bound)
             m = m * ok.astype(m.dtype)
+        if cfg.freeze_state_rescaling:
+            m = m * (ts.n_updates == 0).astype(m.dtype)
         new_obs = running_stats.update(
             new_obs, batch["obs"].reshape(-1, cfg.obs_dim),
             weights=m.reshape(-1))
@@ -320,15 +344,6 @@ def _loss(cfg: VracerConfig, params, ts: TrainState, batch, cutoff):
     return loss, metrics
 
 
-def _scaled_rewards(cfg: VracerConfig, ts: TrainState, rewards):
-    rewards = jnp.maximum(rewards, cfg.reward_floor)
-    if cfg.reward_rescaling:
-        rewards = running_stats.scale(ts.rew_stats, rewards)
-    if cfg.multi_agent_relationship == "cooperation":
-        rewards = jnp.broadcast_to(rewards.mean(-1, keepdims=True), rewards.shape)
-    return rewards
-
-
 def _sanitized_final_V(cfg: VracerConfig, params, ts: TrainState, final_obs):
     """V(s_T) for the truncated-state bootstrap; pre-blowup observations can
     be NaN/huge, so sanitize before the network."""
@@ -338,92 +353,147 @@ def _sanitized_final_V(cfg: VracerConfig, params, ts: TrainState, final_obs):
     return V_fin
 
 
-def retrace_values(cfg: VracerConfig, ts: TrainState, batch):
-    """Initial retrace values for freshly collected episodes (experience
-    minibatch mode) — korali computes these at experience insertion.  The
-    batch is on-policy at insert time, so all IS weights are 1.
-
-    batch: episode tensors (B, T, na, ...) from collect_episodes.
-    Returns (vtg (B, T, na), boot (B, na)) in scaled-reward units.
-    """
-    V, _, _ = make_net(cfg).apply(ts.params, _prep_obs(cfg, ts, batch["obs"]))
-    rewards = _scaled_rewards(cfg, ts, batch["rewards"])
-    boot = (_sanitized_final_V(cfg, ts.params, ts, batch["final_obs"])
-            * batch["truncated"].astype(V.dtype)[..., None])
-    mask = jnp.broadcast_to(batch["mask"][..., None], rewards.shape)
-    vtg, _ = _vtrace(jnp.moveaxis(V, 1, -1), jnp.moveaxis(rewards, 1, -1),
-                     jnp.ones_like(jnp.moveaxis(rewards, 1, -1)),
-                     jnp.moveaxis(mask, 1, -1), cfg.gamma, bootstrap=boot)
-    return jnp.moveaxis(vtg, -1, 1), boot
+def _rescale_rewards(cfg: VracerConfig, rewards, scale):
+    """Floor, divide by the korali reward-rescaling sigma, and apply the MARL
+    Cooperation pooling (team-mean reward, run-vracer-burger-marl.py:111)."""
+    rewards = jnp.maximum(rewards, cfg.reward_floor) / scale
+    if cfg.multi_agent_relationship == "cooperation":
+        rewards = jnp.broadcast_to(rewards.mean(-1, keepdims=True), rewards.shape)
+    return rewards
 
 
-def _loss_experience(cfg: VracerConfig, params, ts: TrainState, batch, cutoff):
-    """Per-experience VRACER loss over n iid sampled experiences (korali's
-    uniform minibatch).  The one-step value target uses the replay's stored
-    retrace value of the successor experience (batch["vtg_next"]), korali's
-    lazily-refreshed estimator; returns refreshed values for write-back."""
-    net = make_net(cfg)
-    V, mu, sigma = net.apply(params, _prep_obs(cfg, ts, batch["obs"]))  # (n, na)
-    rewards = _scaled_rewards(cfg, ts, batch["rewards"])
-
-    logp = D.joint_log_prob(batch["actions"], mu, sigma,
-                            cfg.action_low, cfg.action_high)
-    logp_b = D.joint_log_prob(batch["actions"], batch["mu"], batch["sigma"],
+def _joint_rho(cfg: VracerConfig, actions, mu, sigma, mu_b, sigma_b):
+    """Importance weight pi_cur/pi_behavior per (.., na); with Multi Agent
+    Correlation the PRODUCT over agents is shared (run-vracer-burger-marl.py:113)."""
+    logp = D.joint_log_prob(actions, mu, sigma, cfg.action_low, cfg.action_high)
+    logp_b = D.joint_log_prob(actions, mu_b, sigma_b,
                               cfg.action_low, cfg.action_high)
     log_ratio = jnp.clip(logp - logp_b, -20.0, 20.0)
     if cfg.multi_agent_correlation and cfg.num_agents > 1:
         log_ratio = jnp.broadcast_to(
             jnp.clip(log_ratio.sum(-1, keepdims=True), -20.0, 20.0),
             log_ratio.shape)
-    rho = jnp.exp(log_ratio)
+    return jnp.exp(log_ratio), logp
+
+
+def flat_insert(cfg: VracerConfig, ts: TrainState, frep, batch):
+    """korali processEpisode: when an episode enters the replay, compute its
+    state values V(s), its on-policy (rho=1) retrace values in current
+    scaled-reward units, and the truncated-state bootstrap V(s_T); then
+    append the live steps to the flat experience ring.
+
+    batch: episode tensors (B, T, na, ...) from collect_episodes.
+    """
+    from marlpde_tpu.rl import replay_flat
+    V, _, _ = make_net(cfg).apply(ts.params, _prep_obs(cfg, ts, batch["obs"]))
+    scale = (replay_flat.reward_scale(frep, cfg.reward_floor,
+                                      extra=batch["rewards"],
+                                      extra_mask=batch["mask"])
+             if cfg.reward_rescaling else jnp.asarray(1.0, V.dtype))
+    rewards = _rescale_rewards(cfg, batch["rewards"], scale)
+    boot = (_sanitized_final_V(cfg, ts.params, ts, batch["final_obs"])
+            * batch["truncated"].astype(V.dtype)[..., None])
+    mask = jnp.broadcast_to(batch["mask"][..., None], rewards.shape)
+    vtg, _ = _vtrace(jnp.moveaxis(V, 1, -1), jnp.moveaxis(rewards, 1, -1),
+                     jnp.ones_like(jnp.moveaxis(rewards, 1, -1)),
+                     jnp.moveaxis(mask, 1, -1), cfg.gamma, bootstrap=boot)
+    return replay_flat.add_episodes(frep, batch, sv=V,
+                                    vtg=jnp.moveaxis(vtg, -1, 1), boot=boot)
+
+
+def _loss_experience(cfg: VracerConfig, params, ts: TrainState, rows,
+                     vtg_next, scale, cutoff):
+    """korali VRACER loss over n iid sampled experiences: one-step value
+    target through the (just-refreshed) stored retrace value of the
+    successor experience, REFER near/far split for the policy terms."""
+    net = make_net(cfg)
+    V, mu, sigma = net.apply(params, _prep_obs(cfg, ts, rows["obs"]))  # (n, na)
+    rewards = _rescale_rewards(cfg, rows["rewards"], scale)
+    rho, logp = _joint_rho(cfg, rows["actions"], mu, sigma,
+                           rows["mu"], rows["sigma"])
     near = (rho > 1.0 / cutoff) & (rho < cutoff)
 
     rho_bar = jax.lax.stop_gradient(jnp.minimum(rho, 1.0))
     Vsg = jax.lax.stop_gradient(V)
-    td = rewards + cfg.gamma * batch["vtg_next"] - Vsg
-    vtarget = Vsg + rho_bar * td           # refreshed retrace value (korali)
+    td = rewards + cfg.gamma * vtg_next - Vsg
+    vtarget = Vsg + rho_bar * td           # the refreshed retrace value
     adv = td
 
     n_tot = jnp.asarray(rho.size, V.dtype)
     v_loss = 0.5 * jnp.sum((V - vtarget) ** 2) / n_tot
     pg_w = jax.lax.stop_gradient(jnp.minimum(rho, cutoff) * adv * near)
     pg_loss = -jnp.sum(pg_w * logp) / n_tot
-    kl = D.kl_normal(batch["mu"], batch["sigma"], mu, sigma)
+    kl = D.kl_normal(rows["mu"], rows["sigma"], mu, sigma)
     far = jnp.asarray(~near, kl.dtype)
     kl_loss = jnp.sum(far * kl) / n_tot
 
     loss = cfg.value_coef * v_loss + ts.beta * pg_loss + (1.0 - ts.beta) * kl_loss
-    # refreshed truncated-state bootstrap for the touched episodes
-    new_boot = (_sanitized_final_V(cfg, params, ts, batch["final_obs"])
-                * batch["truncated"].astype(V.dtype)[..., None])
     metrics = dict(loss=loss, v_loss=v_loss, pg_loss=pg_loss, kl_loss=kl_loss,
                    frac_far=far.mean(), mean_rho=rho.mean(),
                    mean_sigma=sigma.mean(), mean_V=V.mean())
-    return loss, (metrics, vtarget, jax.lax.stop_gradient(new_boot))
+    return loss, metrics
 
 
-def update_experience(cfg: VracerConfig, ts: TrainState, rep, key):
-    """One gradient step on a uniform-experience minibatch, with retrace
-    write-back (korali sampler semantics).  Returns (ts, rep, metrics)."""
-    from marlpde_tpu.rl import replay as replay_mod
-    cutoff = cfg.cutoff_scale / (1.0 + cfg.annealing_rate *
-                                 ts.n_updates.astype(jnp.float32))
-    batch = replay_mod.sample_experiences(rep, key, cfg.mini_batch_size)
-    grads, (metrics, new_vtg, new_boot) = jax.grad(
-        lambda p: _loss_experience(cfg, p, ts, batch, cutoff),
+def update_experience(cfg: VracerConfig, ts: TrainState, frep, key):
+    """One korali-faithful VRACER update on the flat experience replay.
+
+    Order follows korali's trainingGeneration step (Agent::attendAgent ->
+    generateMiniBatch -> runPolicy -> updateExperienceMetadata -> gradients):
+
+      1. sample `mini_batch_size` experiences uniformly over the live buffer;
+      2. forward the CURRENT policy on them; refresh their stored metadata —
+         state value, importance weight, persistent off-policy flag — and the
+         truncated-state bootstraps of the touched episodes;
+      3. recompute the retrace values of the touched episodes' WHOLE
+         experience chains (backward recursion, replay_flat.refresh_retrace);
+      4. take the gradient step with the refreshed successor retrace values;
+      5. anneal REFER beta against the REPLAY-WIDE off-policy fraction with
+         the annealed learning rate (korali uses _currentLearningRate, i.e.
+         lr / (1 + annealing_rate * n_updates) — measured over the buffer,
+         NOT the minibatch).
+
+    Returns (ts, frep, metrics).
+    """
+    from marlpde_tpu.rl import replay_flat
+    f32 = jnp.float32
+    n_upd = ts.n_updates.astype(f32)
+    cutoff = cfg.cutoff_scale / (1.0 + cfg.annealing_rate * n_upd)
+    g = replay_flat.sample_ids(frep, key, cfg.mini_batch_size)
+    rows = replay_flat.gather(frep, g)
+    scale = (replay_flat.reward_scale(frep, cfg.reward_floor)
+             if cfg.reward_rescaling else jnp.asarray(1.0, f32))
+
+    # -- metadata refresh (pre-update policy, like korali) --
+    V_meta, mu_c, sigma_c = make_net(cfg).apply(
+        ts.params, _prep_obs(cfg, ts, rows["obs"]))
+    rho_new, _ = _joint_rho(cfg, rows["actions"], mu_c, sigma_c,
+                            rows["mu"], rows["sigma"])
+    off_new = ~((rho_new > 1.0 / cutoff) & (rho_new < cutoff))
+    boot_new = (_sanitized_final_V(cfg, ts.params, ts, rows["fin_obs"])
+                * rows["truncated"].astype(V_meta.dtype)[..., None])
+    frep = replay_flat.refresh_metadata(frep, g, V_meta, rho_new, off_new,
+                                        boot_new)
+    frep, vtg_next = replay_flat.refresh_retrace(
+        frep, g, cfg.episode_length, cfg.gamma, scale, cfg.reward_floor)
+
+    grads, metrics = jax.grad(
+        lambda p: _loss_experience(cfg, p, ts, rows, vtg_next, scale, cutoff),
         has_aux=True)(ts.params)
     updates, opt_state = make_optimizer(cfg).update(grads, ts.opt_state, ts.params)
     params = optax.apply_updates(ts.params, updates)
-    nu = jnp.asarray(cfg.lr * 10.0, ts.beta.dtype)
-    beta = jnp.where(metrics["frac_far"] > cfg.offpolicy_target,
-                     (1.0 - nu) * ts.beta, (1.0 - nu) * ts.beta + nu)
-    beta = jnp.clip(beta, 0.05, 1.0)
-    rep = replay_mod.scatter_vtg(rep, batch["ep"], batch["t"],
-                                 new_vtg, new_boot)
+
+    # REFER beta annealing over the replay-wide fraction
+    frac_off = replay_flat.off_policy_fraction(frep)
+    lr_t = jnp.asarray(cfg.lr, ts.beta.dtype) / (1.0 + cfg.annealing_rate * n_upd)
+    beta = jnp.where(frac_off > cfg.offpolicy_target,
+                     (1.0 - lr_t) * ts.beta, (1.0 - lr_t) * ts.beta + lr_t)
+    beta = jnp.clip(beta, 0.0, 1.0)
     metrics["beta"] = beta
     metrics["cutoff"] = cutoff
+    metrics["frac_off_replay"] = frac_off
+    metrics["rew_scale"] = scale
     return ts.replace(params=params, opt_state=opt_state, beta=beta,
-                      n_updates=ts.n_updates + 1), rep, metrics
+                      n_updates=ts.n_updates + 1), frep, metrics
 
 
 def update(cfg: VracerConfig, ts: TrainState, batch):

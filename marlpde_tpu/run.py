@@ -33,8 +33,11 @@ def build_parser():
                    help="number of actions")
     p.add_argument("--NE", "--exp", "--numexp", dest="NE", type=float,
                    default=5e5, help="max experiences")
-    p.add_argument("--width", type=int, default=256)
-    p.add_argument("--iex", type=float, default=0.1)
+    p.add_argument("--width", type=int, default=None,
+                   help="hidden width (default: the reference driver's)")
+    p.add_argument("--iex", type=float, default=None,
+                   help="Initial Exploration Noise (default: the reference "
+                        "driver's, e.g. 0.1 burger / 3 diffusion-simple)")
     p.add_argument("--episodelength", type=int, default=500)
     p.add_argument("--noise", type=float, default=0.0)
     p.add_argument("--ic", type=str, default=None)
@@ -75,11 +78,11 @@ def build_parser():
     p.add_argument("--mac", action="store_true",
                    help="Multi Agent Correlation: joint (product) importance "
                         "weight across agents (run-vracer-burger-marl.py:113)")
-    p.add_argument("--minibatch", type=str, default="episode",
+    p.add_argument("--minibatch", type=str, default="experience",
                    choices=["episode", "experience"],
-                   help="minibatch sampler: whole episodes (TPU-native "
-                        "default) or korali's 256-uniform-experience mode "
-                        "with stored retrace values")
+                   help="minibatch sampler: korali's 256-uniform-experience "
+                        "mode on the flat REFER replay (default) or whole "
+                        "episodes (TPU-native alternative)")
     p.add_argument("--mbsize", type=int, default=256,
                    help='korali e["Solver"]["Mini Batch Size"] '
                         "(run-vracer-burger.py:132; experience mode only)")
@@ -90,9 +93,10 @@ def build_parser():
     p.add_argument("--rmax", type=int, default=None,
                    help='Experience Replay Maximum Size (default: '
                         '100000*episodelength/500; diffusion drivers use 2^20)')
-    p.add_argument("--expperu", type=float, default=0.5,
-                   help="Experiences Between Policy Updates "
-                        "(run-vracer-burger.py:32); replay reuse = 256/expperu")
+    p.add_argument("--expperu", type=float, default=None,
+                   help="Experiences Between Policy Updates (default: the "
+                        "reference driver's — 0.5 burger/ks, 1 stencil "
+                        "workloads); replay reuse = 256/expperu")
     p.add_argument("--force", type=str, default="zero",
                    help="laplace source term f(x): zero|sin|cos|sincos|"
                         "fourier|gaussian (run-vracer-laplace.py:14)")
@@ -108,9 +112,11 @@ def build_parser():
                         "start gate, and updates/gen (matters for early-"
                         "terminating workloads like diffusion-simple); "
                         "forces the unfused trainer path")
-    p.add_argument("--maxupd", type=int, default=200,
-                   help="cap on gradient updates per generation (the korali "
-                        "economics NE/expperu can exceed it; raise to match)")
+    p.add_argument("--maxupd", type=int, default=10000,
+                   help="cap on gradient updates per generation; the default "
+                        "clears the korali economics (10 episodes x 500 "
+                        "steps / 0.5 expperu = 10000) so the ledger, not the "
+                        "cap, governs")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--serialize-replay", action="store_true",
                    help="save the replay buffer with checkpoints "
@@ -148,6 +154,51 @@ def build_parser():
     return p
 
 
+# Per-driver RL defaults lifted from the reference drivers' argparse + solver
+# blocks: (width, iex, Experiences Between Policy Updates, ER Start Size,
+# ER Maximum Size).  "el" marks the burger/ks episode-length scaling
+# (run-vracer-burger.py:162-167: 20000 * episodelength // 500).
+RL_DEFAULTS = {
+    # run-vracer-burger.py / -marl: width 256, iex 0.1, expperu 0.5
+    "burger": (256, 0.1, 0.5, "el"),
+    "burger-marl": (256, 0.1, 0.5, "el"),
+    # run-vracer-burger-fd.py: width 32, iex 0.005
+    "burger-fd": (32, 0.005, 0.5, "el"),
+    # run-vracer-burger-jax.py: width 256, iex 0.01
+    "burger-jax": (256, 0.01, 0.5, "el"),
+    # run-vracer-coupled-burger.py: width 256, iex 0.1
+    "coupled-burger": (256, 0.1, 0.5, "el"),
+    # run-vracer-ks.py: width 256, iex 1e-3, expperu 0.5
+    "ks": (256, 1e-3, 0.5, "el"),
+    # run-vracer-diffusion-simple.py:10-11,76,104-105
+    "diffusion-simple": (128, 3.0, 1.0, (32768, 2**20)),
+    # run-vracer-advection-simple.py:11-12,77,105-106
+    "advection-simple": (128, 0.05, 1.0, (32768, 2**20)),
+    # run-vracer-diffusion.py: width 128, iex 3, ER 16384/524288
+    "diffusion-stencil3": (128, 3.0, 1.0, (16384, 524288)),
+    # run-vracer-diffusion-error.py: width 128, iex 0.01, ER 16384/524288
+    "diffusion-error": (128, 0.01, 1.0, (16384, 524288)),
+    # run-vracer-laplace.py: width 128, iex 0.1, ER 262144/524288
+    "laplace": (128, 0.1, 1.0, (262144, 524288)),
+}
+
+
+def resolve_rl_defaults(args):
+    """Fill width/iex/expperu/rstart/rmax from the reference driver's values
+    when not given on the command line."""
+    width, iex, expperu, er = RL_DEFAULTS.get(args.workload,
+                                              (256, 0.1, 0.5, "el"))
+    if er == "el":
+        er = (20000 * args.episodelength // 500,
+              100000 * args.episodelength // 500)
+    return dict(
+        width=args.width if args.width is not None else width,
+        iex=args.iex if args.iex is not None else iex,
+        expperu=args.expperu if args.expperu is not None else expperu,
+        rstart=args.rstart if args.rstart is not None else er[0],
+        rmax=args.rmax if args.rmax is not None else er[1])
+
+
 def make_workload(args):
     """Build (env, rl_cfg, tc) from CLI args; defaults follow the drivers."""
     from marlpde_tpu.envs import registry
@@ -157,7 +208,7 @@ def make_workload(args):
     kw = {}
     if w in ("burger", "burger-marl", "burger-fd", "burger-jax"):
         defaults = dict(N=32, NA=32, dt=1e-3, T=5.0, nu=0.02, ic="sinus",
-                        gamma=1.0, iex=args.iex)
+                        gamma=1.0)
         if w == "burger-fd":
             defaults.update(N=256, NA=256, ic="turbulence")
         kw = dict(
@@ -206,7 +257,10 @@ def make_workload(args):
             dt=args.dt or 0.01, nu=args.nu or 0.1,
             episode_length=args.episodelength,
             ic_case=args.ic or "sinus", noise=args.noise if args.noise else 0.5)
-        gamma = args.gamma if args.gamma is not None else 0.95
+        # run-vracer-diffusion.py:76 uses Discount Factor 1.0; the simple and
+        # error variants use 0.95
+        gamma = (args.gamma if args.gamma is not None
+                 else (1.0 if w == "diffusion-stencil3" else 0.95))
     elif w == "advection-simple":
         env = registry.make_env(
             w, N=args.N or 32, num_agents=args.nagents or 1,
@@ -222,24 +276,27 @@ def make_workload(args):
     else:
         raise SystemExit(f"unknown workload {w}")
 
+    d = resolve_rl_defaults(args)
     rl_cfg = trainer.default_rl_config(
-        env, width=args.width, gamma=gamma, lr=args.lr, init_noise=args.iex,
+        env, width=d["width"], gamma=gamma, lr=args.lr, init_noise=d["iex"],
         multi_agent_relationship=args.mar,
         multi_agent_correlation=args.mac,
         policy_impl=args.policy_impl, sigma_max=args.sigma_max,
         minibatch_mode=args.minibatch, mini_batch_size=args.mbsize,
-        experiences_between_updates=args.expperu,
-        replay_start_experiences=args.rstart if args.rstart is not None
-        else 20000 * args.episodelength // 500,
-        replay_max_experiences=args.rmax if args.rmax is not None
-        else 100000 * args.episodelength // 500)
+        experiences_between_updates=d["expperu"],
+        replay_start_experiences=d["rstart"],
+        replay_max_experiences=d["rmax"])
+    # korali always counts LIVE experiences toward NE and the update ledger;
+    # the padded accounting is only kept for the fused one-dispatch TPU path
+    # (fixed-length episodes make the two identical there).
+    realexp = args.realexp or not args.fused
     tc = trainer.TrainerConfig(num_envs=args.numenvs, max_experiences=args.NE,
-                               reuse_ratio=args.mbsize / args.expperu,
+                               reuse_ratio=args.mbsize / d["expperu"],
                                max_updates_per_gen=args.maxupd,
                                seed=args.seed, fused=args.fused,
                                testing_frequency=args.testfreq,
                                testing_episodes=args.testepisodes,
-                               count_real_experiences=args.realexp)
+                               count_real_experiences=realexp)
     if args.save_episodes:
         tc = dataclasses.replace(
             tc, save_episodes_dir=f"_result_{args.workload}_{args.run}/episodes")
@@ -267,12 +324,23 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     # persistent compilation cache: the axon remote-compile tunnel is slow
     # and occasionally drops mid-run; cached executables let a retry go
-    # straight to execution (same setup as bench.py)
+    # straight to execution (same setup as bench.py).  The directory is
+    # keyed by the host CPU's feature set: XLA:CPU AOT executables are
+    # machine-specific, and reusing another machine's cache floods stderr
+    # with cpu_aot_loader "machine feature not supported" errors.
     try:
+        import hashlib
+        import platform
+        try:
+            with open("/proc/cpuinfo") as f:
+                flags = [ln for ln in f if ln.startswith("flags")][0]
+        except Exception:
+            flags = platform.processor()
+        tag = hashlib.sha1(flags.encode()).hexdigest()[:8]
         import jax
         jax.config.update("jax_compilation_cache_dir",
                           os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                         "/tmp/jax_comp_cache"))
+                                         f"/tmp/jax_comp_cache_{tag}"))
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:

@@ -80,7 +80,14 @@ def default_rl_config(env: Env, **overrides) -> vracer.VracerConfig:
 
 
 def make_replay(env: Env, rl_cfg: vracer.VracerConfig):
-    """The trainer's replay layout (shared with checkpoint load templates)."""
+    """The trainer's replay layout (shared with checkpoint load templates):
+    episode-slot ring for episode minibatches, flat experience ring with
+    korali REFER metadata (replay_flat) for experience minibatches."""
+    if rl_cfg.minibatch_mode == "experience":
+        from marlpde_tpu.rl import replay_flat
+        return replay_flat.init_flat(rl_cfg.replay_max_experiences,
+                                     rl_cfg.flat_episode_capacity,
+                                     env.num_agents, env.obs_dim, env.act_dim)
     return replay_mod.init(rl_cfg.replay_capacity_episodes,
                            env.episode_length, env.num_agents,
                            env.obs_dim, env.act_dim)
@@ -116,9 +123,7 @@ def build_fused_generation(env: Env, rl_cfg: vracer.VracerConfig,
             record_fields=tc.save_episodes_dir is not None)
         if exp_mode:
             ts_ = vracer.observe_episodes(rl_cfg, ts_, traj_)
-            vtg_, boot_ = vracer.retrace_values(rl_cfg, ts_, traj_)
-            rep_ = replay_mod.add_episodes(rep_, dict(traj_, vtg=vtg_,
-                                                      boot=boot_))
+            rep_ = vracer.flat_insert(rl_cfg, ts_, rep_, traj_)
         else:
             rep_ = replay_mod.add_episodes(rep_, traj_)
             ts_ = vracer.observe_episodes(rl_cfg, ts_, traj_)
@@ -149,7 +154,8 @@ def build_fused_generation(env: Env, rl_cfg: vracer.VracerConfig,
             return (t0_, r0_), jax.tree.map(
                 lambda s: jnp.zeros(s.shape, s.dtype), mshape)
 
-        did = rep_.filled >= rl_cfg.replay_start_episodes
+        did = (rep_.cursor >= rl_cfg.replay_start_experiences if exp_mode
+               else rep_.filled >= rl_cfg.replay_start_episodes)
         (ts_, rep_), metrics_ = jax.lax.cond(did, run_updates, skip_updates,
                                              (ts_, rep_, k_u))
         stats = dict(
@@ -196,7 +202,7 @@ def train(env: Env, rl_cfg: Optional[vracer.VracerConfig] = None,
     add = jax.jit(replay_mod.add_episodes)
     observe = jax.jit(lambda ts_, b: vracer.observe_episodes(rl_cfg, ts_, b))
     exp_mode = rl_cfg.minibatch_mode == "experience"
-    retrace = jax.jit(lambda ts_, b: vracer.retrace_values(rl_cfg, ts_, b))
+    insert_flat = jax.jit(lambda ts_, r_, b: vracer.flat_insert(rl_cfg, ts_, r_, b))
 
     @jax.jit
     def do_update(ts_, rep_, key_):
@@ -252,6 +258,7 @@ def train(env: Env, rl_cfg: Optional[vracer.VracerConfig] = None,
         episode_base = (history["gen"][-1] if history.get("gen") else 0) * tc.num_envs
         gen = history["gen"][-1] if history.get("gen") else 0
     t0 = time.time()
+    updates_done = int(sum(history.get("updates") or [0]))
     best_test = [max([t for t in history.get("test_return", [])] or
                      [-np.inf])]
     T = env.episode_length
@@ -278,8 +285,7 @@ def train(env: Env, rl_cfg: Optional[vracer.VracerConfig] = None,
             traj, final = collect(ts, k_c, jnp.asarray(episode_base), env.consts)
             if exp_mode:
                 ts = observe(ts, traj)
-                vtg, boot = retrace(ts, traj)
-                rep = add(rep, dict(traj, vtg=vtg, boot=boot))
+                rep = insert_flat(ts, rep, traj)
             else:
                 rep = add(rep, traj)
                 ts = observe(ts, traj)
@@ -296,12 +302,26 @@ def train(env: Env, rl_cfg: Optional[vracer.VracerConfig] = None,
             n_upd = 0
             if real_mode:
                 started = real_in_replay >= rl_cfg.replay_start_experiences
-                n_target = (int(min(tc.max_updates_per_gen,
-                                    max(0.0, gen_exp * tc.reuse_ratio
-                                        / exp_per_update)))
-                            if started else 0)
+                if exp_mode:
+                    # korali's exact update ledger: the cumulative target is
+                    # (experienceCount - startSize) / Experiences Between
+                    # Policy Updates; each generation runs the shortfall
+                    # against updates already taken (capped by --maxupd).
+                    target_total = int(max(
+                        0.0, (real_in_replay - rl_cfg.replay_start_experiences)
+                        / rl_cfg.experiences_between_updates))
+                    n_target = (min(tc.max_updates_per_gen,
+                                    max(0, target_total - updates_done))
+                                if started else 0)
+                else:
+                    n_target = (int(min(tc.max_updates_per_gen,
+                                        max(0.0, gen_exp * tc.reuse_ratio
+                                            / exp_per_update)))
+                                if started else 0)
             else:
-                started = int(rep.filled) >= rl_cfg.replay_start_episodes
+                started = (int(rep.cursor) >= rl_cfg.replay_start_experiences
+                           if exp_mode
+                           else int(rep.filled) >= rl_cfg.replay_start_episodes)
                 n_target = upd_per_gen if started else 0
             # chunked update scans: same key-split sequence as n_target
             # individual dispatches (bitwise-identical to the legacy loop and
@@ -316,6 +336,7 @@ def train(env: Env, rl_cfg: Optional[vracer.VracerConfig] = None,
                 ts, rep, k_u, metrics = run_update_rem(rem)(ts, rep, k_u)
                 n_upd += rem
 
+        updates_done += n_upd
         mean_ret = float(final.cum_reward.mean())
         ep_len = float(traj["mask"].sum(1).mean())
         history["gen"].append(gen)

@@ -47,10 +47,17 @@ def save_train_state(path: str, ts, history: Optional[dict] = None,
         import orbax.checkpoint as ocp
         d = os.path.abspath(os.path.join(path, "latest_orbax"))
         tmp = d + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
+        # Multi-process protocol: EVERY process must call ocp save (it
+        # synchronizes internally via jax.distributed barriers); only the
+        # primary touches the filesystem around it.  orbax's save_start
+        # barrier orders the primary's rmtree before any writes.
+        primary = jax.process_index() == 0
+        if primary:
+            shutil.rmtree(tmp, ignore_errors=True)
         ocp.PyTreeCheckpointer().save(tmp, _to_numpy(ts))
-        shutil.rmtree(d, ignore_errors=True)
-        os.replace(tmp, d)
+        if primary:
+            shutil.rmtree(d, ignore_errors=True)
+            os.replace(tmp, d)
     else:
         with open(os.path.join(path, "latest.pkl"), "wb") as f:
             pickle.dump(_to_numpy(ts), f)
@@ -106,15 +113,18 @@ def load_meta(path: str) -> Optional[dict]:
                 episode_base=int(d["episode_base"]))
 
 
-_REPLAY_FIELDS = ("obs", "actions", "mu", "sigma", "rewards", "mask",
-                  "final_obs", "truncated", "vtg", "boot", "filled", "cursor")
+def _replay_fields(rep):
+    import dataclasses
+    return [f.name for f in dataclasses.fields(rep)]
 
 
 def save_replay(path: str, rep):
+    """Works for both replay layouts (episode-slot Replay and the flat
+    experience FlatReplay) — fields are introspected from the dataclass."""
     os.makedirs(path, exist_ok=True)
     np.savez_compressed(os.path.join(path, "replay.npz"),
                         **{k: np.asarray(getattr(rep, k))
-                           for k in _REPLAY_FIELDS})
+                           for k in _replay_fields(rep)})
 
 
 def load_replay(path: str, template):
@@ -123,4 +133,4 @@ def load_replay(path: str, template):
         return None
     data = np.load(fname)
     return template.replace(**{k: jax.numpy.asarray(data[k])
-                               for k in _REPLAY_FIELDS})
+                               for k in _replay_fields(template)})

@@ -1,0 +1,147 @@
+"""Two-process jax.distributed dryrun of the multi-HOST training path.
+
+The reference has no multi-node execution at all (SURVEY.md §2.8); the
+TPU-native design extends the 1-D env mesh over jax.distributed-initialized
+processes (parallel/mesh.py).  Real pods are not reachable from this
+environment, so this script proves the multi-process path end to end on CPU:
+
+  * 2 processes x 4 virtual CPU devices = one 8-device global mesh,
+  * jax.distributed.initialize with a localhost coordinator,
+  * >=3 generations of the sharded trainer (parallel/mesh.run_generations)
+    with a warm replay (updates run from generation 1),
+  * replicated train state verified BITWISE IDENTICAL across processes
+    (process_allgather of parameter hashes),
+  * checkpoint written cooperatively by both processes (orbax multi-process
+    save; pickle fallback) and restored on BOTH, restored == live bitwise.
+
+Usage:
+  env PYTHONPATH= python scripts/dist_dryrun.py            # parent/launcher
+  (workers are re-execs of this file with --proc N)
+
+The parent prints one JSON line {"ok": true, ...} on success.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_PROC = 2
+DEV_PER_PROC = 4
+N_GEN = 3
+
+
+def free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def parent(out_dir: str) -> int:
+    port = free_port()
+    env = dict(
+        os.environ,
+        PYTHONPATH="",                      # skip the axon TPU sitecustomize
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS=f"--xla_force_host_platform_device_count={DEV_PER_PROC}",
+        MARLPDE_DIST_COORD=f"127.0.0.1:{port}",
+    )
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--proc", str(i),
+         "--out", out_dir],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(N_PROC)]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    rcs = [p.returncode for p in procs]
+    ok = all(rc == 0 for rc in rcs) and all("[dist_dryrun] OK" in o
+                                            for o in outs)
+    for i, o in enumerate(outs):
+        sys.stderr.write(f"----- worker {i} (rc={rcs[i]}) -----\n{o}\n")
+    print(json.dumps({"ok": ok, "processes": N_PROC,
+                      "devices_per_process": DEV_PER_PROC,
+                      "global_devices": N_PROC * DEV_PER_PROC,
+                      "generations": N_GEN}))
+    return 0 if ok else 1
+
+
+def worker(proc_id: int, out_dir: str) -> int:
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=os.environ["MARLPDE_DIST_COORD"],
+        num_processes=N_PROC, process_id=proc_id)
+    assert jax.process_count() == N_PROC
+    assert jax.device_count() == N_PROC * DEV_PER_PROC, jax.device_count()
+    assert jax.local_device_count() == DEV_PER_PROC
+
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    from marlpde_tpu.parallel import mesh as pmesh
+    from marlpde_tpu.train import trainer
+    from marlpde_tpu.utils import checkpoint as ckpt
+
+    import __graft_entry__ as ge
+    env, _ = ge._flagship(small=True)
+    n_dev = jax.device_count()
+    rl_cfg = trainer.default_rl_config(
+        env, width=16, replay_start_experiences=n_dev,
+        replay_max_experiences=n_dev * 200, mini_batch_episodes=1)
+    mesh = pmesh.make_mesh()
+    ts, rep, hist = pmesh.run_generations(
+        env, rl_cfg, mesh, envs_per_device=1, updates_per_gen=2,
+        n_generations=N_GEN, seed=3)
+    assert np.isfinite(hist["mean_return"][-1])
+    assert int(jax.device_get(ts.n_updates)) > 0, "no updates ran"
+
+    # --- replicated params bitwise identical across processes ---
+    host_ts = jax.device_get(ts)           # fully replicated -> local copy
+    leaves = jax.tree.leaves(host_ts)
+    digest = np.asarray(
+        [np.frombuffer(np.ascontiguousarray(l).tobytes(), np.uint8).sum()
+         % 2**31 for l in leaves if hasattr(l, "dtype")], np.int64)
+    all_digests = multihost_utils.process_allgather(digest)
+    assert (all_digests == all_digests[0]).all(), \
+        f"params diverged across processes: {all_digests}"
+
+    # --- cross-process checkpoint: orbax save (all processes participate in
+    # orbax's internal barriers; process 0 writes), then restore on BOTH
+    # processes and compare bitwise with the live state ("orbax
+    # save-in-process-A / load-in-process-B").
+    backend = "orbax"
+    ckpt.save_train_state(out_dir, host_ts, backend=backend)
+    multihost_utils.sync_global_devices("marlpde_ckpt_written")
+    restored = ckpt.load_train_state(out_dir, rl_cfg, backend=backend)
+    for a, b in zip(jax.tree.leaves(host_ts), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    multihost_utils.sync_global_devices("marlpde_ckpt_verified")
+
+    print(f"[dist_dryrun] OK proc {proc_id}/{N_PROC}: "
+          f"{N_GEN} generations on {n_dev} global devices, "
+          f"updates={int(jax.device_get(ts.n_updates))}, "
+          f"ckpt backend={backend}, params replicated bitwise", flush=True)
+    return 0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--proc", type=int, default=None)
+    ap.add_argument("--out", type=str,
+                    default=os.path.join(REPO, "_dist_dryrun_ckpt"))
+    args = ap.parse_args()
+    if args.proc is None:
+        sys.exit(parent(args.out))
+    sys.exit(worker(args.proc, args.out))
+
+
+if __name__ == "__main__":
+    main()

@@ -131,13 +131,25 @@ class TestCheckpoint:
             np.asarray(jax.random.key_data(key)))
         assert ckpt.load_meta(str(tmp_path / "nope")) is None
 
-    def test_replay_roundtrip_with_retrace_fields(self, tmp_path):
+    def test_replay_roundtrip_episode_layout(self, tmp_path):
         from marlpde_tpu.rl import replay as replay_mod
         rep = replay_mod.init(3, 4, 2, 5, 1)
-        rep = rep.replace(vtg=rep.vtg + 2.0, truncated=rep.truncated.at[1].set(True),
+        rep = rep.replace(truncated=rep.truncated.at[1].set(True),
                           filled=jax.numpy.asarray(2, jax.numpy.int32))
         ckpt.save_replay(str(tmp_path), rep)
         back = ckpt.load_replay(str(tmp_path), replay_mod.init(3, 4, 2, 5, 1))
+        for a, b in zip(jax.tree.leaves(rep), jax.tree.leaves(back)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_replay_roundtrip_flat_layout_with_refer_metadata(self, tmp_path):
+        from marlpde_tpu.rl import replay_flat
+        rep = replay_flat.init_flat(8, 8, 2, 5, 1)
+        rep = rep.replace(vtg=rep.vtg + 2.0, rho=rep.rho * 0.5,
+                          off=rep.off.at[3].set(True),
+                          truncated_ep=rep.truncated_ep.at[1].set(True),
+                          cursor=jax.numpy.asarray(6, jax.numpy.int32))
+        ckpt.save_replay(str(tmp_path), rep)
+        back = ckpt.load_replay(str(tmp_path), replay_flat.init_flat(8, 8, 2, 5, 1))
         for a, b in zip(jax.tree.leaves(rep), jax.tree.leaves(back)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 

@@ -261,13 +261,16 @@ class TestMultiAgentCorrelation:
             np.testing.assert_allclose(float(a), float(b), rtol=1e-7)
 
 
-class TestExperienceMinibatch:
-    """korali's uniform-experience sampler (Mini Batch Size = 256,
-    run-vracer-burger.py:132) with stored, lazily-refreshed retrace values."""
+class TestFlatExperienceReplay:
+    """korali's uniform-experience minibatch machinery on the flat experience
+    ring (replay_flat): compaction, uniform sampling, second-moment reward
+    rescaling, whole-episode retrace refresh, replay-wide off-policy
+    fraction."""
 
-    def _mk_rep(self, rng, C=4, T=5, na=1, od=3, ad=1, fill=3):
-        rep = replay.init(C, T, na, od, ad)
-        batch = dict(
+    T = 5
+
+    def _batch(self, rng, fill=3, T=5, na=1, od=3, ad=1):
+        return dict(
             obs=jnp.asarray(rng.standard_normal((fill, T, na, od)), jnp.float32),
             actions=jnp.asarray(rng.standard_normal((fill, T, na, ad)) * 0.1,
                                 jnp.float32),
@@ -275,70 +278,189 @@ class TestExperienceMinibatch:
             rewards=jnp.asarray(rng.standard_normal((fill, T, na)), jnp.float32),
             mask=jnp.asarray(np.stack([[1, 1, 1, 1, 1], [1, 1, 0, 0, 0],
                                        [1, 1, 1, 0, 0]][:fill]), jnp.float32),
-            final_obs=jnp.zeros((fill, na, od)),
-            truncated=jnp.asarray([False, True, False][:fill]),
-            vtg=jnp.asarray(rng.standard_normal((fill, T, na)), jnp.float32),
-            boot=jnp.asarray(rng.standard_normal((fill, na)), jnp.float32))
-        return replay.add_episodes(rep, batch), batch
+            final_obs=jnp.asarray(rng.standard_normal((fill, na, od)),
+                                  jnp.float32),
+            truncated=jnp.asarray([False, True, False][:fill]))
 
-    def test_sampler_uniform_over_valid_experiences(self, rng):
-        rep, batch = self._mk_rep(rng)
-        out = replay.sample_experiences(rep, jax.random.key(0), 4000)
-        ep, t = np.asarray(out["ep"]), np.asarray(out["t"])
-        mask = np.asarray(batch["mask"])
-        # every draw must land on a valid experience
-        assert (mask[ep, t] > 0).all()
-        # uniformity: each of the 10 valid (ep,t) cells gets ~1/10
-        counts = np.zeros_like(mask)
-        np.add.at(counts, (ep, t), 1)
-        frac = counts[mask > 0] / 4000
-        assert abs(frac - 1 / mask.sum()).max() < 0.03
+    def _mk(self, rng, E=32, fill=3, **kw):
+        from marlpde_tpu.rl import replay_flat
+        batch = self._batch(rng, fill=fill, **kw)
+        rep = replay_flat.init_flat(E, E, batch["obs"].shape[2],
+                                    batch["obs"].shape[3],
+                                    batch["actions"].shape[3])
+        sv = jnp.zeros(batch["rewards"].shape)
+        vtg = jnp.asarray(rng.standard_normal(batch["rewards"].shape),
+                          jnp.float32)
+        boot = jnp.asarray(rng.standard_normal(batch["final_obs"].shape[:2]),
+                           jnp.float32) * batch["truncated"][:, None]
+        return replay_flat.add_episodes(rep, batch, sv, vtg, boot), batch, vtg, boot
 
-    def test_vtg_next_uses_stored_values_and_bootstrap(self, rng):
-        rep, batch = self._mk_rep(rng)
-        out = replay.sample_experiences(rep, jax.random.key(1), 512)
-        ep, t = np.asarray(out["ep"]), np.asarray(out["t"])
-        mask = np.asarray(batch["mask"])
-        vtg = np.asarray(batch["vtg"])
-        boot = np.asarray(batch["boot"])
-        got = np.asarray(out["vtg_next"])
-        T = mask.shape[1]
-        for i in range(512):
-            if t[i] + 1 < T and mask[ep[i], t[i] + 1] > 0:
-                want = vtg[ep[i], t[i] + 1]
-            else:
-                want = boot[ep[i]]
-            np.testing.assert_allclose(got[i], want, rtol=1e-6)
+    def test_add_compacts_live_steps(self, rng):
+        from marlpde_tpu.rl import replay_flat
+        rep, batch, vtg, _ = self._mk(rng)
+        # masks 5+2+3 -> 10 live experiences packed at slots 0..9
+        assert int(rep.cursor) == 10 and int(rep.n_episodes) == 3
+        obs = np.asarray(batch["obs"])
+        want = np.concatenate([obs[0, :5], obs[1, :2], obs[2, :3]])
+        np.testing.assert_array_equal(np.asarray(rep.obs[:10]), want)
+        # episode bounds as global ids
+        np.testing.assert_array_equal(np.asarray(rep.ep_first[:10]),
+                                      [0] * 5 + [5] * 2 + [7] * 3)
+        np.testing.assert_array_equal(np.asarray(rep.ep_last[:10]),
+                                      [4] * 5 + [6] * 2 + [9] * 3)
+        # fresh experiences are on-policy
+        assert not bool(np.asarray(rep.off[:10]).any())
+        np.testing.assert_array_equal(np.asarray(rep.rho[:10]), 1.0)
+        # episode ring holds truncation flag + bootstrap
+        np.testing.assert_array_equal(np.asarray(rep.truncated_ep[:3]),
+                                      [False, True, False])
 
-    def test_scatter_vtg_roundtrip(self, rng):
-        rep, _ = self._mk_rep(rng)
-        ep = jnp.asarray([0, 1]); t = jnp.asarray([2, 1])
-        new = jnp.asarray([[7.0], [9.0]])
-        nb = jnp.asarray([[1.5], [2.5]])
-        rep2 = replay.scatter_vtg(rep, ep, t, new, nb)
-        assert float(rep2.vtg[0, 2, 0]) == 7.0
-        assert float(rep2.vtg[1, 1, 0]) == 9.0
-        assert float(rep2.boot[1, 0]) == 2.5
+    def test_sampler_uniform_over_live(self, rng):
+        from marlpde_tpu.rl import replay_flat
+        rep, _, _, _ = self._mk(rng)
+        g = np.asarray(replay_flat.sample_ids(rep, jax.random.key(0), 4000))
+        assert g.min() >= 0 and g.max() <= 9
+        frac = np.bincount(g, minlength=10) / 4000
+        assert abs(frac - 0.1).max() < 0.03
 
-    def test_retrace_values_match_vtrace(self, rng):
-        """On-policy insertion retrace == discounted returns (rho=1)."""
+    def test_reward_scale_is_second_moment(self, rng):
+        """korali rescales by sqrt(mean r^2) over the replay — a constant
+        reward maps to ~1.  A variance-based std would blow a near-constant
+        (bonus-dominated, diffusion_environment_simple.py:32-40) reward up
+        by orders of magnitude; this pins the korali behavior."""
+        from marlpde_tpu.rl import replay_flat
+        rep, batch, _, _ = self._mk(rng)
+        rep = rep.replace(rewards=jnp.full_like(rep.rewards, 5e-4))
+        s = float(replay_flat.reward_scale(rep))
+        np.testing.assert_allclose(s, 5e-4, rtol=1e-3)
+        # and the floor keeps -inf blowup rewards out of the statistic
+        rep2 = rep.replace(rewards=rep.rewards.at[0, 0].set(-jnp.inf))
+        s2 = float(replay_flat.reward_scale(rep2, reward_floor=-1e4))
+        assert np.isfinite(s2)
+
+    def test_ring_eviction_fifo(self, rng):
+        from marlpde_tpu.rl import replay_flat
+        rep, batch, _, _ = self._mk(rng, E=8)   # 10 live into capacity 8
+        assert int(rep.cursor) == 10 and int(rep.live) == 8
+        # oldest two experiences (global 0,1) overwritten by global 8,9
+        obs = np.asarray(batch["obs"])
+        np.testing.assert_array_equal(np.asarray(rep.obs[0]), obs[2, 1])
+        np.testing.assert_array_equal(np.asarray(rep.obs[2]), obs[0, 2])
+
+    def test_flat_insert_retrace_matches_vtrace(self, rng):
+        """Insert-time retrace values (rho=1) must equal the episode-mode
+        _vtrace targets — the two computations share the same math."""
         cfg = vracer.VracerConfig(obs_dim=3, act_dim=1, episode_length=5,
                                   gamma=0.9, state_rescaling=False,
                                   reward_rescaling=False)
         ts = vracer.init_train(cfg, jax.random.key(0))
-        _, batch = self._mk_rep(rng, fill=2)
-        vtg, boot = vracer.retrace_values(cfg, ts, batch)
-        assert vtg.shape == (2, 5, 1) and boot.shape == (2, 1)
-        # terminal episode (0): no bootstrap; manual check at last step
+        from marlpde_tpu.rl import replay_flat
+        batch = self._batch(rng, fill=2)
+        rep = replay_flat.init_flat(64, 64, 1, 3, 1)
+        rep = vracer.flat_insert(cfg, ts, rep, batch)
         V, _, _ = vracer.policy_apply(cfg, ts, batch["obs"])
+        boot = np.asarray(vracer._sanitized_final_V(
+            cfg, ts.params, ts, batch["final_obs"]))
         r = np.asarray(batch["rewards"])
         Vn = np.asarray(V)
-        want_last = Vn[0, 4, 0] + (r[0, 4, 0] - Vn[0, 4, 0])   # rho=1, no boot
-        np.testing.assert_allclose(float(vtg[0, 4, 0]), want_last, rtol=1e-5)
-        # truncated episode (1, ends at t=1): bootstraps from V(final_obs)
+        # terminal episode 0 (len 5): vtg_4 = V_4 + (r_4 - V_4) = r_4
+        np.testing.assert_allclose(float(rep.vtg[4, 0]), r[0, 4, 0], rtol=1e-5)
         np.testing.assert_allclose(
-            float(vtg[1, 1, 0]),
-            r[1, 1, 0] + 0.9 * float(boot[1, 0]), rtol=1e-5)
+            float(rep.vtg[3, 0]), r[0, 3, 0] + 0.9 * r[0, 4, 0], rtol=1e-5)
+        # truncated episode 1 (len 2): tail bootstraps from V(final_obs)
+        want_last = r[1, 1, 0] + 0.9 * boot[1, 0]
+        np.testing.assert_allclose(float(rep.vtg[6, 0]), want_last, rtol=1e-5)
+        np.testing.assert_allclose(float(rep.boot[1, 0]), boot[1, 0], rtol=1e-6)
+
+    def test_refresh_retrace_numpy_oracle(self, rng):
+        """Backward whole-episode refresh == a literal numpy re-derivation of
+        korali's recursion vtg_t = V_t + min(1,rho_t)(r_t + g*vtg_{t+1} - V_t),
+        and vtg_next picks the successor (or bootstrap at episode end)."""
+        from marlpde_tpu.rl import replay_flat
+        rep, batch, _, _ = self._mk(rng)
+        # randomize stored metadata to make the recursion non-trivial
+        sv = jnp.asarray(rng.standard_normal(rep.sv.shape), jnp.float32)
+        rho = jnp.asarray(rng.uniform(0.3, 2.0, rep.rho.shape), jnp.float32)
+        rep = rep.replace(sv=sv, rho=rho)
+        gamma, scale = 0.9, 2.0
+        # sample one experience from each episode: ids 1 (ep0), 5 (ep1, trunc)
+        g = jnp.asarray([1, 5], jnp.int32)
+        rep2, vtg_next = replay_flat.refresh_retrace(rep, g, self.T, gamma,
+                                                     scale)
+        svn = np.asarray(sv)[:, 0]
+        rn = np.asarray(rep.rewards)[:, 0] / scale
+        rhon = np.minimum(np.asarray(rho)[:, 0], 1.0)
+        boot = np.asarray(rep.boot)[:, 0]
+
+        def oracle(first, last, seed):
+            out, vnext = {}, seed
+            for k in range(last, first - 1, -1):
+                vt = svn[k] + rhon[k] * (rn[k] + gamma * vnext - svn[k])
+                out[k] = vt
+                vnext = vt
+            return out
+        want0 = oracle(0, 4, 0.0)              # terminal episode
+        want1 = oracle(5, 6, boot[1])          # truncated: seeded with boot
+        got = np.asarray(rep2.vtg)[:, 0]
+        for k, v in {**want0, **want1}.items():
+            np.testing.assert_allclose(got[k], v, rtol=1e-5, err_msg=str(k))
+        # vtg_next: successor of g=1 is refreshed vtg[2]; of g=5 is vtg[6]
+        np.testing.assert_allclose(float(vtg_next[0, 0]), want0[2], rtol=1e-5)
+        np.testing.assert_allclose(float(vtg_next[1, 0]), want1[6], rtol=1e-5)
+        # episode-end sample: vtg_next must be the bootstrap (truncated ep 1)
+        _, vn_end = replay_flat.refresh_retrace(rep, jnp.asarray([6, 4]),
+                                                self.T, gamma, scale)
+        np.testing.assert_allclose(float(vn_end[0, 0]), boot[1], rtol=1e-6)
+        np.testing.assert_allclose(float(vn_end[1, 0]), 0.0, atol=1e-7)
+
+    def test_off_policy_fraction_counts_replay(self, rng):
+        from marlpde_tpu.rl import replay_flat
+        rep, _, _, _ = self._mk(rng)
+        assert float(replay_flat.off_policy_fraction(rep)) == 0.0
+        rep = rep.replace(off=rep.off.at[jnp.asarray([0, 3])].set(True))
+        np.testing.assert_allclose(
+            float(replay_flat.off_policy_fraction(rep)), 0.2, rtol=1e-6)
+
+    def test_beta_anneals_with_current_lr_against_replay_fraction(self, rng):
+        """REFER beta moves by the ANNEALED learning rate toward 1 while the
+        replay off-policy fraction is under target, and down when over
+        (korali _experienceReplayOffPolicyREFERCurrentBeta update)."""
+        from marlpde_tpu.rl import replay_flat
+        cfg = vracer.VracerConfig(obs_dim=3, act_dim=1, episode_length=5,
+                                  gamma=0.9, lr=1e-2, state_rescaling=False,
+                                  reward_rescaling=False, mini_batch_size=4)
+        ts = vracer.init_train(cfg, jax.random.key(0))
+        batch = self._batch(rng, fill=3)
+        # behavior == current policy -> rho = 1 exactly (on-policy replay)
+        _, mu_b, sigma_b = vracer.policy_apply(cfg, ts, batch["obs"])
+        batch = dict(batch, mu=mu_b, sigma=sigma_b)
+        rep = replay_flat.init_flat(32, 32, 1, 3, 1)
+        rep = vracer.flat_insert(cfg, ts, rep, batch)
+        ts2, rep2, m = vracer.update_experience(cfg, ts, rep, jax.random.key(1))
+        # fresh on-policy replay: fraction 0 <= target -> beta rises by lr
+        want = (1 - cfg.lr) * cfg.refer_beta + cfg.lr
+        np.testing.assert_allclose(float(ts2.beta), want, rtol=1e-5)
+        # force the replay far off-policy -> beta must decrease
+        rep_off = rep.replace(off=jnp.ones_like(rep.off))
+        ts3, _, _ = vracer.update_experience(cfg, ts, rep_off,
+                                             jax.random.key(1))
+        np.testing.assert_allclose(float(ts3.beta),
+                                   (1 - cfg.lr) * cfg.refer_beta, rtol=1e-4)
+
+    def test_state_rescaling_freezes_after_first_update(self, rng):
+        """korali computes State Rescaling once from the replay-start buffer;
+        observe_episodes must stop accumulating once updates begin."""
+        cfg = vracer.VracerConfig(obs_dim=3, act_dim=1, episode_length=5,
+                                  num_agents=1)
+        ts = vracer.init_train(cfg, jax.random.key(0))
+        batch = self._batch(rng, fill=2)
+        ts1 = vracer.observe_episodes(cfg, ts, batch)
+        assert float(ts1.obs_stats.count) > float(ts.obs_stats.count)
+        ts_upd = ts1.replace(n_updates=jnp.asarray(1, jnp.int32))
+        ts2 = vracer.observe_episodes(cfg, ts_upd, batch)
+        np.testing.assert_array_equal(np.asarray(ts2.obs_stats.mean),
+                                      np.asarray(ts_upd.obs_stats.mean))
+        assert float(ts2.obs_stats.count) == float(ts_upd.obs_stats.count)
 
     def test_training_learns_in_experience_mode(self):
         env = registry.make_env("diffusion-simple", N=8, episode_length=60,
@@ -404,6 +526,7 @@ class TestRealExperienceAccounting:
         rl_cfg = trainer.default_rl_config(
             env, width=8, gamma=0.95, init_noise=3.0,
             minibatch_mode="experience", mini_batch_size=16,
+            experiences_between_updates=1.0,
             replay_start_experiences=30, replay_max_experiences=4000)
         tc = trainer.TrainerConfig(
             num_envs=4, max_experiences=200, reuse_ratio=16.0,
@@ -416,15 +539,21 @@ class TestRealExperienceAccounting:
         # each generation's increment is the live-step count, not num_envs*T
         np.testing.assert_allclose(d_exp, eplen * tc.num_envs, rtol=1e-6)
         assert exp[-1] < len(exp) * tc.num_envs * env.episode_length
-        # korali economics once the gate opens: 1 update per
-        # (mini_batch/reuse)=1 new experience, capped at max_updates_per_gen
+        # korali's exact update ledger: cumulative target is
+        # (experienceCount - startSize) / Experiences Between Policy Updates
+        # (here expperu = mini_batch/reuse = 1); each generation runs the
+        # shortfall vs updates already taken, capped at max_updates_per_gen
         upd = np.asarray(hist["updates"])
         cum = np.cumsum(d_exp)
+        done = 0
         for i, u in enumerate(upd):
             if cum[i] < rl_cfg.replay_start_experiences:
-                assert u == 0, (i, u)
+                want = 0
             else:
-                assert u == min(tc.max_updates_per_gen, int(d_exp[i])), (i, u)
+                target = int(cum[i] - rl_cfg.replay_start_experiences)
+                want = min(tc.max_updates_per_gen, max(0, target - done))
+            assert u == want, (i, u, want)
+            done += u
 
 
 class TestLearning:
