@@ -44,18 +44,27 @@ def _episode_with_policy(cfg, pool, rl_cfg, ts, key, sidx, deterministic=True):
 
 def evaluate_policy(cfg: burger_env.BurgerEnvConfig, pool, rl_cfg, ts,
                     out_dir: str = None, run_tag: int = 0, key=None,
-                    make_plots: bool = False):
-    """Sweep every DNS in the pool with the deterministic policy.
+                    make_plots: bool = False, sample_ids=None,
+                    file_suffix: str = ""):
+    """Sweep the DNS pool with the deterministic policy.
+
+    ``sample_ids`` restricts the sweep to specific pool rows (korali
+    e["Solver"]["Testing"]["Sample Ids"], run-vracer-burger.py:203-210);
+    default is the whole pool (burger_testing_environment.py behavior).
+    ``file_suffix`` tags the .npy dumps (the driver's viscosity sweep writes
+    one set per nu).
 
     Returns dict with relError (P, T), actions (P, T, NA), cumreward (P, na),
     dnsSgsTerms (P, T+1, g); writes the reference's .npy dumps when out_dir
     is given (burger_testing_environment.py:168-179)."""
     key = key if key is not None else jax.random.key(0)
     n_pool = int(pool.nu.shape[0])
+    ids = (list(range(n_pool)) if sample_ids is None
+           else [int(i) % n_pool for i in sample_ids])
     ep = jax.jit(lambda p, t, k, i: _episode_with_policy(cfg, p, rl_cfg, t, k, i))
 
     rel_errs, actions, cums = [], [], []
-    for i in range(n_pool):
+    for i in ids:
         key, k = jax.random.split(key)
         traj, final = ep(pool, ts, k, jnp.asarray(i))
         rel_errs.append(np.asarray(traj["rel_err"]))
@@ -68,18 +77,19 @@ def evaluate_policy(cfg: burger_env.BurgerEnvConfig, pool, rl_cfg, ts,
     sgs_fn = jax.jit(lambda p, i: diagnostics.compute_sgs_burger(
         p.uu[i], dcfg.grid.k, dcfg.grid.dx, cfg.dt, p.nu[i], cfg.grid_size))
     dns_sgs = []
-    for i in range(n_pool):
+    for i in ids:
         terms = sgs_fn(pool, jnp.asarray(i))
         dns_sgs.append(np.asarray(terms["sgs_alt2"]))
 
     out = dict(relError=np.stack(rel_errs), actions=np.stack(actions),
-               cumreward=np.stack(cums), dnsSgsTerms=np.stack(dns_sgs))
+               cumreward=np.stack(cums), dnsSgsTerms=np.stack(dns_sgs),
+               sample_ids=np.asarray(ids))
     if out_dir:
         from marlpde_tpu.utils.async_sink import AsyncSink
         sink = AsyncSink(out_dir)
-        sink.write(f"relError_{run_tag}", out["relError"])
-        sink.write(f"sgsTerms_{run_tag}", out["actions"])
-        sink.write(f"dnsSgsTerms_{run_tag}", out["dnsSgsTerms"])
+        sink.write(f"relError_{run_tag}{file_suffix}", out["relError"])
+        sink.write(f"sgsTerms_{run_tag}{file_suffix}", out["actions"])
+        sink.write(f"dnsSgsTerms_{run_tag}{file_suffix}", out["dnsSgsTerms"])
         sink.flush()
     return out
 

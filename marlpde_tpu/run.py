@@ -59,6 +59,15 @@ def build_parser():
     p.add_argument("--ndns", type=int, default=1)
     p.add_argument("--nagents", "--numAgents", dest="nagents", type=int, default=None)
     p.add_argument("--test", action="store_true")
+    p.add_argument("--ids", type=str, default=None,
+                   help='with --test: comma list of DNS-pool sample ids to '
+                        'evaluate (korali e["Solver"]["Testing"]["Sample '
+                        'Ids"], run-vracer-burger.py:207); default = whole '
+                        "pool")
+    p.add_argument("--nus", type=str, default=None,
+                   help="with --test: comma list of viscosities to sweep — "
+                        "the DNS pool is rebuilt per value (run-vracer-"
+                        'burger.py:203-209 Custom Settings "Viscosity")')
     p.add_argument("--best", action="store_true",
                    help="with --test: evaluate the best-test-return "
                         "checkpoint (<result>/best/) instead of the final one")
@@ -426,20 +435,42 @@ def main(argv=None):
                              "coupled-burger"):
             # reference test mode (run-vracer-burger.py:203-210 ->
             # burger_testing_environment.py + burger_environment.py:241-329):
-            # sweep the DNS pool dumping relError/sgsTerms/dnsSgsTerms .npy,
-            # then the controlled-vs-uncontrolled comparison + makePlot.
+            # sweep the DNS pool (or --ids Testing Sample Ids) dumping
+            # relError/sgsTerms/dnsSgsTerms .npy per --nus viscosity, then
+            # the controlled-vs-uncontrolled comparison + makePlot.
             from marlpde_tpu.analysis import evaluation
-            evaluation.evaluate_policy(
-                env.cfg, env.consts, rl_cfg, ts, out_dir=result_dir,
-                run_tag=args.run, key=jax.random.key(args.seed))
-            cmp_ = evaluation.compare_with_uncontrolled(
-                env.cfg, env.consts, rl_cfg, ts,
-                key=jax.random.key(args.seed),
-                file_prefix=os.path.join(result_dir, "test"))
-            summary["baseline_cumreward"] = float(
-                np.mean(cmp_["baseline_cumreward"]))
-            summary["controlled_cumreward"] = float(
-                np.mean(cmp_["controlled_cumreward"]))
+            ids = ([int(x) for x in args.ids.split(",")]
+                   if args.ids else None)
+            nus = ([float(x) for x in args.nus.split(",")]
+                   if args.nus else [None])
+            summary["nus"] = [n for n in nus if n is not None]
+            for nu_t in nus:
+                if nu_t is None:
+                    env_t, suffix = env, ""
+                else:
+                    sub = argparse.Namespace(**vars(args))
+                    sub.nu, sub.test, sub.nus = nu_t, False, None
+                    env_t, _, _ = make_workload(sub)
+                    suffix = f"_nu{nu_t:g}"
+                evaluation.evaluate_policy(
+                    env_t.cfg, env_t.consts, rl_cfg, ts, out_dir=result_dir,
+                    run_tag=args.run, key=jax.random.key(args.seed),
+                    sample_ids=ids, file_suffix=suffix)
+                cmp_ = evaluation.compare_with_uncontrolled(
+                    env_t.cfg, env_t.consts, rl_cfg, ts,
+                    key=jax.random.key(args.seed),
+                    sidx=(ids[0] if ids else 0),
+                    file_prefix=os.path.join(result_dir, f"test{suffix}"))
+                summary["baseline_cumreward" + suffix] = float(
+                    np.mean(cmp_["baseline_cumreward"]))
+                summary["controlled_cumreward" + suffix] = float(
+                    np.mean(cmp_["controlled_cumreward"]))
+            summary["baseline_cumreward"] = summary.get(
+                "baseline_cumreward", summary.get("baseline_cumreward" + (
+                    f"_nu{nus[0]:g}" if nus[0] is not None else "")))
+            summary["controlled_cumreward"] = summary.get(
+                "controlled_cumreward", summary.get("controlled_cumreward" + (
+                    f"_nu{nus[0]:g}" if nus[0] is not None else "")))
         elif args.workload == "ks":
             # KS testing branch (ks_environment.py:122-183): controlled-LES
             # npz dump, DNS SGS terms, uncontrolled baseline, makePlot

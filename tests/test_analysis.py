@@ -364,6 +364,27 @@ class TestTestingArtifacts:
                   "field.png"):
             assert (res / f).exists(), f
 
+    def test_cli_test_sample_ids_and_nu_sweep(self, tmp_path, monkeypatch):
+        """Testing Sample Ids + viscosity sweep (run-vracer-burger.py:203-210):
+        --ids pins pool rows, --nus rebuilds the DNS pool per viscosity and
+        writes one artifact set per value."""
+        from marlpde_tpu import run as cli
+        monkeypatch.chdir(tmp_path)
+        base = ["burger", "--NDNS", "32", "--N", "8", "--NA", "8", "--dt",
+                "0.01", "--T", "0.05", "--episodelength", "5", "--numenvs",
+                "2", "--width", "8", "--ndns", "3", "--rstart", "10",
+                "--rmax", "100"]
+        cli.main(base + ["--NE", "20"])
+        cli.main(base + ["--test", "--ids", "0,2", "--nus", "0.02,0.05",
+                         "--testepisodes", "2"])
+        res = tmp_path / "_result_burger_0"
+        for nu in ("0.02", "0.05"):
+            rel = np.load(res / f"relError_0_nu{nu}.npy")
+            assert rel.shape[0] == 2          # exactly the two sample ids
+            assert (res / f"sgsTerms_0_nu{nu}.npy").exists()
+            assert (res / f"dnsSgsTerms_0_nu{nu}.npy").exists()
+            assert (res / f"test_nu{nu}.png").exists()
+
 
 class TestMakePlotContent:
     """Pixel-independent content checks of makePlot's panel data (VERDICT r1
