@@ -263,17 +263,23 @@ def refresh_retrace(rep: FlatReplay, g, T_window: int, gamma, scale,
     rho_w = rep.rho.at[ws].get(mode="fill", fill_value=1.0)
     rho_bar = jnp.minimum(rho_w, 1.0)
 
-    def body(vnext, xs):
-        sv_k, r_k, rb_k, val_k = xs
-        vt = sv_k + rb_k * (r_k + gamma * vnext - sv_k)
-        vt = jnp.where(val_k[:, None], vt, vnext)
-        return vt, vt
+    # The recursion vt_k = sv_k + rb_k*(r_k + gamma*vt_{k-1} - sv_k) is the
+    # affine map vt_k = a_k*vt_{k-1} + b_k (invalid window slots pass the
+    # carry through: a=1, b=0), so the whole window resolves as a log-depth
+    # prefix composition instead of a T-step sequential scan — the scan was
+    # the per-update latency hot spot on TPU (500 tiny sequential steps).
+    val = valid[:, :, None]
+    a = jnp.where(val, gamma * rho_bar, 1.0)                    # (n, Tw, na)
+    b = jnp.where(val, sv_w * (1.0 - rho_bar) + rho_bar * r_w, 0.0)
 
-    xs = (jnp.moveaxis(sv_w, 1, 0), jnp.moveaxis(r_w, 1, 0),
-          jnp.moveaxis(rho_bar, 1, 0),
-          jnp.moveaxis(valid, 1, 0))
-    _, vts = jax.lax.scan(body, boot0, xs)
-    new_vtg = jnp.moveaxis(vts, 0, 1)                           # (n, Tw, na)
+    def compose(x, y):
+        # prefix c_k = f_k . f_{k-1} . ... . f_0 ; fn(x, y) = y . x
+        ax, bx = x
+        ay, by = y
+        return ay * ax, ay * bx + by
+
+    A, B = jax.lax.associative_scan(compose, (a, b), axis=1)
+    new_vtg = A * boot0[:, None, :] + B                         # (n, Tw, na)
 
     vtg_buf = rep.vtg.at[ws.reshape(-1)].set(
         new_vtg.reshape(-1, rep.vtg.shape[1]).astype(rep.vtg.dtype),

@@ -26,8 +26,10 @@ from marlpde_tpu.rl import replay as replay_mod
 from marlpde_tpu.rl import vracer
 
 # updates per jitted scan in trainer.train's unfused update loop (chunking is
-# RNG-transparent; see make_update_scan)
-UPDATE_CHUNK = 25
+# RNG-transparent; see make_update_scan).  Sized so korali economics
+# (~100-10000 updates/gen) cost a handful of dispatches over the
+# high-latency axon tunnel.
+UPDATE_CHUNK = 50
 
 
 @dataclasses.dataclass(frozen=True)
