@@ -64,17 +64,38 @@ def main():
     from marlpde_tpu.rl import vracer
     from marlpde_tpu.train import trainer
 
-    # run-vracer-burger-marl configuration: N=512 DNS, 32-point LES, 32 agents,
-    # spectral reward, episodeLength 500 -> nIntermediate = 10
-    fft_impl = os.environ.get("BENCH_FFT", "dft")   # MXU DFT-matmul path
-    env = registry.make_env(
-        "burger", N_dns=512, grid_size=32, num_actions=32, num_agents=32,
-        dt=0.001, T=5.0, nu=0.02, episode_length=500, ic_case="turbulence",
-        spectral_reward=True, noise=0.0, dtype=jnp.float32)
-    if fft_impl != "fft":
-        import dataclasses as _dc
-        cfg2 = _dc.replace(env.cfg, fft_impl=fft_impl)
-        env = registry.make_env("burger", cfg=cfg2, pool=env.consts)
+    # BENCH_WORKLOAD selects the benched config (VERDICT r2 item 5 —
+    # the cost profiles differ: spectral N=32 (FFT-bound), FD N=256
+    # (stencil/HBM-bound), KS ETDRK4 on an N_dns=1024 pool):
+    #   burger-marl (default): run-vracer-burger-marl — N=512 DNS, 32-pt LES,
+    #       32 agents, spectral reward, nIntermediate=10
+    #   burger-fd: run-vracer-burger-fd.py:6-39 — NDNS=1024, N=NA=256,
+    #       explicit-Euler centered FD, turbulence IC, MSE reward
+    #   ks: run-vracer-ks.py + ks_environment.py:5-12 — N_dns=1024 ETDRK4
+    #       DNS pool, 32-pt LES, spectral reward
+    workload = os.environ.get("BENCH_WORKLOAD", "burger-marl")
+    mode = os.environ.get("BENCH_MODE", "train" if workload == "burger-marl"
+                          else "full")
+    if workload == "burger-fd":
+        env = registry.make_env(
+            "burger-fd", N_dns=1024, grid_size=256, num_actions=256,
+            num_agents=1, dt=0.001, T=5.0, nu=0.02, episode_length=500,
+            ic_case="turbulence", spectral_reward=False, noise=0.0,
+            dtype=jnp.float32)
+    elif workload == "ks":
+        env = registry.make_env("ks", N_dns=1024, grid_size=32,
+                                num_actions=32, episode_length=500,
+                                noise=0.0, seed=42, dtype=jnp.float32)
+    else:
+        fft_impl = os.environ.get("BENCH_FFT", "dft")   # MXU DFT-matmul path
+        env = registry.make_env(
+            "burger", N_dns=512, grid_size=32, num_actions=32, num_agents=32,
+            dt=0.001, T=5.0, nu=0.02, episode_length=500, ic_case="turbulence",
+            spectral_reward=True, noise=0.0, dtype=jnp.float32)
+        if fft_impl != "fft":
+            import dataclasses as _dc
+            cfg2 = _dc.replace(env.cfg, fft_impl=fft_impl)
+            env = registry.make_env("burger", cfg=cfg2, pool=env.consts)
     n_intermediate = env.cfg.n_intermediate
     rl_cfg = trainer.default_rl_config(
         env, width=128,
@@ -86,12 +107,11 @@ def main():
     log("pool built (host)")
     reset_keys = jax.random.split(jax.random.key(1), B)
 
-    # train (default: one REAL fused training generation — whole-batch
-    # collect + replay insert + normalizer update + gradient updates, i.e.
-    # exactly what trainer.train dispatches per generation) | fast
-    # (whole-batch jnp rollout only) | pallas (fused-kernel rollout only) |
-    # full (general vmapped env) | env-only | policy-only
-    mode = os.environ.get("BENCH_MODE", "train")
+    # train (default for burger-marl: one REAL fused training generation —
+    # whole-batch collect + replay insert + normalizer update + gradient
+    # updates, i.e. exactly what trainer.train dispatches per generation) |
+    # fast (whole-batch jnp rollout only) | pallas (fused-kernel rollout
+    # only) | full (general vmapped env) | env-only | policy-only
 
     # policy implementation: 'xla' | 'pallas' (fused VMEM-resident MLP kernel)
     policy_impl = os.environ.get("BENCH_POLICY", "xla")
@@ -256,10 +276,14 @@ def main():
     env_steps = B * macro_steps * n_intermediate
     steps_per_s = env_steps / dt
     baseline = 1e6   # BASELINE.json target: >=1e6 env-steps/s/chip
+    desc = {"burger-fd": "N=256 explicit-FD Burgers, MSE reward",
+            "ks": "N=32 ETDRK4 KS LES (N_dns=1024 pool), spectral reward"}.get(
+        workload, "32 agents, spectral reward")
     print(json.dumps({
         "metric": "env_steps_per_s_per_chip",
         "value": round(steps_per_s, 1),
-        "unit": "LES-substeps/s (B=%d envs, 32 agents, spectral reward, policy in loop)" % B,
+        "unit": "LES/solver-substeps/s (workload=%s, B=%d envs, %s, "
+                "policy in loop)" % (workload, B, desc),
         "vs_baseline": round(steps_per_s / baseline, 3),
     }))
 
