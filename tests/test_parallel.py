@@ -1,6 +1,8 @@
 """Distribution tests on the 8-device virtual CPU mesh (SURVEY.md §4:
 'Distributed correctness ... tested with jax.sharding on CPU meshes')."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -101,3 +103,25 @@ class TestMeshTrainerFeatures:
             init_key=meta["key"])
         assert hist2["gen"] == [1, 2, 3, 4]
         assert int(hist2["experiences"][-1]) == 4 * 8 * 2 * 10
+
+
+class TestMultiProcessDryrun:
+    def test_two_process_jax_distributed(self, tmp_path):
+        """The multi-HOST path for real: 2 jax.distributed processes x 4
+        virtual devices = one 8-device global mesh, >=3 generations with a
+        warm replay, params bitwise-replicated across processes, and an orbax
+        checkpoint saved by process 0 and restored on both
+        (scripts/dist_dryrun.py; VERDICT r2 item 4)."""
+        import json
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        out = subprocess.run(
+            [sys.executable, os.path.join(repo, "scripts", "dist_dryrun.py"),
+             "--out", str(tmp_path / "ckpt")],
+            capture_output=True, text=True, timeout=800,
+            env={**os.environ, "PYTHONPATH": ""})
+        assert out.returncode == 0, out.stdout + out.stderr
+        verdict = json.loads(out.stdout.strip().splitlines()[-1])
+        assert verdict["ok"] and verdict["global_devices"] == 8
