@@ -11,6 +11,7 @@ driver's "Initial Exploration Noise" (run-vracer-burger.py:158).
 from __future__ import annotations
 
 import flax.linen as nn
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -39,5 +40,8 @@ class VracerNet(nn.Module):
         # softplus(0) = log 2, so raw=0 yields sigma = init_noise exactly
         sigma = nn.softplus(raw) * (self.init_noise / float(np.log(2.0))) + self.sigma_floor
         if np.isfinite(self.sigma_max):
-            sigma = self.sigma_max * nn.tanh(sigma / self.sigma_max)
+            # hard ceiling: exact identity below the cap (a tanh cap would
+            # distort sigma everywhere — iex=3 under cap 5 would start at
+            # 2.68), zero gradient above it (the upward ratchet just stops)
+            sigma = jnp.minimum(sigma, self.sigma_max)
         return v, mu, sigma

@@ -175,7 +175,7 @@ def policy_apply(cfg: VracerConfig, ts: TrainState, obs):
         V, mu, sigma = mlp_pallas.mlp_forward(
             x.reshape(-1, cfg.obs_dim), ts.params, init_noise=cfg.init_noise)
         if np.isfinite(cfg.sigma_max):
-            sigma = cfg.sigma_max * jnp.tanh(sigma / cfg.sigma_max)
+            sigma = jnp.minimum(sigma, cfg.sigma_max)
         return (V.reshape(lead), mu.reshape(lead + (cfg.act_dim,)),
                 sigma.reshape(lead + (cfg.act_dim,)))
     return make_net(cfg).apply(ts.params, x)

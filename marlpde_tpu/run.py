@@ -71,9 +71,17 @@ def build_parser():
     p.add_argument("--best", action="store_true",
                    help="with --test: evaluate the best-test-return "
                         "checkpoint (<result>/best/) instead of the final one")
-    p.add_argument("--sigma-max", type=float, default=np.inf,
+    p.add_argument("--sigma-max", type=float, default=None,
                    help="exploration-sigma ceiling (networks.VracerNet."
-                        "sigma_max); inf = korali-faithful unbounded")
+                        "sigma_max).  Default: HALF THE ACTION RANGE — a "
+                        "clipped normal with sigma >= (ub-lb)/2 is already "
+                        "~uniform-over-box plus bound masses, so the cap "
+                        "removes no realizable behavior; it only removes the "
+                        "sigma ratchet (REFER's forward-KL trust region is "
+                        "log-cheap upward, quadratic downward, so sigma can "
+                        "only ratchet up — measured on runs/flagship_905.log: "
+                        "0.26 -> 8.5 over 100 generations, degrading "
+                        "collection).  Pass inf for korali-unbounded")
     # learner flags
     p.add_argument("--learner", type=str, default="vracer",
                    choices=["vracer", "apg"],
@@ -286,11 +294,13 @@ def make_workload(args):
         raise SystemExit(f"unknown workload {w}")
 
     d = resolve_rl_defaults(args)
+    sigma_max = (args.sigma_max if args.sigma_max is not None
+                 else (env.action_high - env.action_low) / 2.0)
     rl_cfg = trainer.default_rl_config(
         env, width=d["width"], gamma=gamma, lr=args.lr, init_noise=d["iex"],
         multi_agent_relationship=args.mar,
         multi_agent_correlation=args.mac,
-        policy_impl=args.policy_impl, sigma_max=args.sigma_max,
+        policy_impl=args.policy_impl, sigma_max=sigma_max,
         minibatch_mode=args.minibatch, mini_batch_size=args.mbsize,
         experiences_between_updates=d["expperu"],
         replay_start_experiences=d["rstart"],

@@ -721,7 +721,8 @@ class TestBlowupContainment:
 
 class TestSigmaMax:
     """Optional exploration-sigma ceiling (networks.VracerNet.sigma_max):
-    inf = korali-faithful unbounded; finite = smooth tanh cap."""
+    inf = korali-faithful unbounded; finite = HARD min cap (exact identity
+    below the ceiling — an iex=3 policy under cap 5 still starts at 3)."""
 
     def test_unbounded_default_matches_iex_at_init(self):
         from marlpde_tpu.rl import networks
@@ -741,12 +742,12 @@ class TestSigmaMax:
         p = jax.tree.map(lambda a: a * 30.0, p)
         _, _, sigma = net.apply(p, obs)
         assert float(sigma.max()) <= 2.0 + 1e-6
-        # small sigmas barely affected: tanh(x)~x
-        net2 = networks.VracerNet(act_dim=2, width=8, init_noise=0.1,
-                                  sigma_max=10.0)
+        # sigmas below the cap are EXACTLY unaffected (min, not tanh)
+        net2 = networks.VracerNet(act_dim=2, width=8, init_noise=3.0,
+                                  sigma_max=5.0)
         p2 = net2.init(jax.random.key(2), obs[:1])
         _, _, s2 = net2.apply(p2, obs)
-        np.testing.assert_allclose(np.asarray(s2), 0.1, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(s2), 3.0, rtol=1e-4)
 
     def test_config_threads_through_policy(self):
         cfg = vracer.VracerConfig(obs_dim=4, act_dim=1, width=8,
