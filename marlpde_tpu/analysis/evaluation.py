@@ -274,7 +274,7 @@ def simple_env_testing(env, rl_cfg, ts, out_dir: str, key=None):
             else:
                 a = vracer.act_deterministic(rl_cfg, t, ob)
             st2, ob2, rew, done, _ = env.step(consts, st, a)
-            out = dict(u=st2.solver.u, actions=a, reward=rew)
+            out = dict(u=st2.solver.u, actions=a, reward=rew, done=done)
             tr = truth_of(st2)
             if tr is not None:
                 out["truth"] = tr
@@ -317,6 +317,22 @@ def simple_env_testing(env, rl_cfg, ts, out_dir: str, key=None):
         plotting.make_plot(mkd(sol), mkd(traj_b["u"], traj_b["actions"]),
                            mkd(traj["u"], traj["actions"]),
                            os.path.join(out_dir, "compare"), spectral=False)
+
+    # the reference's learned-policy convergence artifact
+    # (plotting_diffusion.py:60-78 plotConvergence -> error_{N}.json, the only
+    # checked-in learned-RL results in the reference repo,
+    # diffusion_errors/error_{8,16,32,128}.json): mse/linf/mass curves of the
+    # deterministic policy vs the analytical solution, plus how long it
+    # survived the early-stop rule.
+    if sol is not None:
+        survived = int(np.asarray(traj["done"]).argmax()) + 1 \
+            if bool(np.asarray(traj["done"]).any()) else len(uu)
+        curves = diagnostics.error_curves(uu[:survived], sol[:survived],
+                                          tt[:survived])
+        curves["survived_steps"] = survived
+        curves["episode_length"] = int(cfg.episode_length)
+        diagnostics.write_error_json(
+            os.path.join(out_dir, f"error_rl_{len(x)}.json"), curves)
     return dict(cumreward=np.asarray(final.cum_reward), uu=uu, solution=sol)
 
 

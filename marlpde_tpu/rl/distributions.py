@@ -46,3 +46,20 @@ def kl_normal(mu_b, sigma_b, mu, sigma):
     var = sigma * sigma
     kl = jnp.log(sigma / sigma_b) + (var_b + (mu - mu_b) ** 2) / (2.0 * var) - 0.5
     return kl.sum(-1)
+
+
+def kl_jeffreys(mu_b, sigma_b, mu, sigma):
+    """Symmetrized (Jeffreys) KL between behavior and current policy.
+
+    The paper's forward KL(behavior||current) is ASYMMETRIC in sigma: growing
+    sigma past the behavior costs only log(sigma/sigma_b) while shrinking it
+    costs sigma_b^2/(2 sigma^2) — so exploration noise can ratchet upward
+    through the trust region almost for free (measured: sigma 0.26 -> 8.5
+    over 100 generations on the korali-economics flagship,
+    results/flagship_r3/history_905_nocap.json, degrading collection until
+    training collapses).  Averaging the two directions makes the trust region
+    symmetric in sigma and kills the ratchet; this is a documented deliberate
+    deviation (VracerConfig.trust_region: 'jeffreys' default, 'forward' =
+    paper-faithful)."""
+    return 0.5 * (kl_normal(mu_b, sigma_b, mu, sigma)
+                  + kl_normal(mu, sigma, mu_b, sigma_b))

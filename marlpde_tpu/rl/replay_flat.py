@@ -119,13 +119,21 @@ def reward_scale(rep: FlatReplay, reward_floor=-jnp.inf, extra=None,
     fresh (not yet inserted) episode batch into the statistic — korali adds
     the episode's rewards to its running sum-of-squares before computing the
     new episode's retrace values."""
-    m = _live_mask(rep).astype(rep.rewards.dtype)[:, None]
-    r = jnp.maximum(rep.rewards, reward_floor)
+    # blowup rewards (at/below the raw floor, e.g. the reference's -inf,
+    # burger_environment.py:200) are EXCLUDED from the statistic: one -1e4 in
+    # 1e5 ordinary ~1e-2 rewards would inflate sigma ~3000x and crush the
+    # real learning signal to zero (observed rew_scale 0.01 -> 571 on
+    # flagship 907).  They still train, bounded by scaled_reward_floor.
+    m = (_live_mask(rep)[:, None] & (rep.rewards > reward_floor)).astype(
+        rep.rewards.dtype)
+    r = jnp.where(m > 0, rep.rewards, 0.0)
     s = jnp.sum(m * r * r)
-    n = jnp.sum(m) * rep.rewards.shape[1]
+    n = jnp.sum(m)
     if extra is not None:
-        re = jnp.maximum(extra, reward_floor)
-        me = jnp.broadcast_to(extra_mask[..., None], re.shape).astype(re.dtype)
+        me = (jnp.broadcast_to(extra_mask[..., None], extra.shape) > 0) & (
+            extra > reward_floor)
+        me = me.astype(r.dtype)
+        re = jnp.where(me > 0, extra, 0.0)
         s = s + jnp.sum(me * re * re)
         n = n + jnp.sum(me)
     return jnp.sqrt(jnp.maximum(s / jnp.maximum(n, 1.0), 1e-18))
@@ -230,7 +238,8 @@ def refresh_metadata(rep: FlatReplay, g, V_new, rho_new, off_new,
 
 
 def refresh_retrace(rep: FlatReplay, g, T_window: int, gamma, scale,
-                    reward_floor=-jnp.inf) -> tuple[FlatReplay, jax.Array]:
+                    reward_floor=-jnp.inf,
+                    scaled_floor=-jnp.inf) -> tuple[FlatReplay, jax.Array]:
     """korali updateExperienceMetadata part 2: recompute the stored retrace
     values of the WHOLE episode of every sampled experience by the backward
     recursion vtg_t = V_t + min(1,rho_t)*(r_t + gamma*vtg_{t+1} - V_t),
@@ -258,8 +267,9 @@ def refresh_retrace(rep: FlatReplay, g, T_window: int, gamma, scale,
     ws = jnp.where(valid, w % E, E)                             # E = dropped
 
     sv_w = rep.sv.at[ws].get(mode="fill", fill_value=0.0)       # (n, Tw, na)
-    r_w = jnp.maximum(rep.rewards.at[ws].get(mode="fill", fill_value=0.0),
-                      reward_floor) / scale
+    r_w = jnp.maximum(jnp.maximum(
+        rep.rewards.at[ws].get(mode="fill", fill_value=0.0),
+        reward_floor) / scale, scaled_floor)
     rho_w = rep.rho.at[ws].get(mode="fill", fill_value=1.0)
     rho_bar = jnp.minimum(rho_w, 1.0)
 

@@ -16,12 +16,28 @@ Episode-end semantics follow the reference (burger_environment.py:198-204):
 time-limit / early-stop ends are "Terminal" (no value bootstrap), numeric
 blowups are "Truncated" and bootstrap V-trace tails from V(s_T).
 
-Deviations from korali (documented design choices):
-  * default minibatches are whole episodes (K episodes/update) rather than
-    256 iid experiences — V-trace tails are then exact under the current
-    network instead of korali's lazily-refreshed stored estimators;
-    TPU-friendly.  Set ``minibatch_mode="experience"`` for korali's
-    uniform-experience sampler with stored (lazily refreshed) retrace values.
+The korali-faithful path is ``minibatch_mode="experience"`` (the run.py
+default): uniform-experience minibatches over the flat REFER replay
+(replay_flat) with stored lazily-refreshed metadata, whole-episode retrace
+refresh per update, the replay-wide off-policy fraction driving beta at the
+annealed learning rate, second-moment reward rescaling over the live buffer,
+and state-rescaling coefficients frozen once updates begin.
+
+Deviations from korali (each deliberate, documented at its definition):
+  * ``minibatch_mode="episode"``: whole-episode minibatches with exact
+    V-trace tails under the current network — the TPU-native alternative.
+  * ``trust_region="jeffreys"`` (default): symmetrized far-policy KL — the
+    paper's forward KL is log-cheap for sigma growth and quadratic for
+    shrinkage, so exploration noise ratchets up unboundedly (measured,
+    distributions.kl_jeffreys).  "forward" restores the paper term.
+  * ``sigma_max`` defaults to half the action range in run.py — a clipped
+    normal with sigma >= (ub-lb)/2 is already ~uniform-over-box, so the cap
+    removes no realizable behavior, only the ratchet's tail.
+  * blowup containment: the reference envs emit reward = -inf on numeric
+    blowup; those rewards are floored (reward_floor), EXCLUDED from the
+    reward-rescaling statistic (replay_flat.reward_scale), and bounded in
+    scaled units (scaled_reward_floor) so one blowup cannot crush the
+    learning signal or detonate the value loss.
   * optimizer is optax.adam with the driver's learning rate.
 """
 
@@ -100,6 +116,15 @@ class VracerConfig:
     # functions always differentiate the flax apply.  Parity is tested in
     # tests/test_pallas.py::TestPolicyImplParity.
     policy_impl: str = "xla"               # 'xla' | 'pallas'
+    # Far-policy trust-region divergence: 'jeffreys' (symmetrized KL; see
+    # distributions.kl_jeffreys for the sigma-ratchet rationale) or 'forward'
+    # (the ReF-ER paper's KL(behavior||current)).
+    trust_region: str = "jeffreys"
+    # Numeric-blowup rewards (floored at reward_floor) are additionally
+    # bounded AFTER reward rescaling: with a typical scale of ~1e-2 a raw
+    # -1e4 floor becomes -1e6 in scaled units and detonates the value loss
+    # (observed v_loss ~1e3 on flagship 907); korali's -inf would be worse.
+    scaled_reward_floor: float = -100.0
     # korali State Rescaling semantics: coefficients are computed from the
     # replay-start buffer and FROZEN once policy updates begin (see
     # observe_episodes).  False keeps the round-2 continuously-updated stats.
@@ -279,6 +304,7 @@ def _loss(cfg: VracerConfig, params, ts: TrainState, batch, cutoff):
     rewards = jnp.maximum(batch["rewards"], cfg.reward_floor)
     if cfg.reward_rescaling:
         rewards = running_stats.scale(ts.rew_stats, rewards)
+    rewards = jnp.maximum(rewards, cfg.scaled_reward_floor)
     if cfg.multi_agent_relationship == "cooperation":
         # korali Cooperation: agents share the team-mean reward
         rewards = jnp.broadcast_to(rewards.mean(-1, keepdims=True), rewards.shape)
@@ -332,7 +358,7 @@ def _loss(cfg: VracerConfig, params, ts: TrainState, batch, cutoff):
     pg_w = jax.lax.stop_gradient(jnp.minimum(rho, cutoff) * adv * near)
     pg_loss = -jnp.sum(w * pg_w * logp) / denom
 
-    kl = D.kl_normal(batch["mu"], batch["sigma"], mu, sigma)
+    kl = _trust_kl(cfg, batch["mu"], batch["sigma"], mu, sigma)
     far = jnp.asarray(~near, kl.dtype)
     kl_loss = jnp.sum(w * far * kl) / denom
 
@@ -354,9 +380,11 @@ def _sanitized_final_V(cfg: VracerConfig, params, ts: TrainState, final_obs):
 
 
 def _rescale_rewards(cfg: VracerConfig, rewards, scale):
-    """Floor, divide by the korali reward-rescaling sigma, and apply the MARL
+    """Floor, divide by the korali reward-rescaling sigma, bound in scaled
+    units (blowup containment, see scaled_reward_floor), and apply the MARL
     Cooperation pooling (team-mean reward, run-vracer-burger-marl.py:111)."""
     rewards = jnp.maximum(rewards, cfg.reward_floor) / scale
+    rewards = jnp.maximum(rewards, cfg.scaled_reward_floor)
     if cfg.multi_agent_relationship == "cooperation":
         rewards = jnp.broadcast_to(rewards.mean(-1, keepdims=True), rewards.shape)
     return rewards
@@ -374,6 +402,12 @@ def _joint_rho(cfg: VracerConfig, actions, mu, sigma, mu_b, sigma_b):
             jnp.clip(log_ratio.sum(-1, keepdims=True), -20.0, 20.0),
             log_ratio.shape)
     return jnp.exp(log_ratio), logp
+
+
+def _trust_kl(cfg: VracerConfig, mu_b, sigma_b, mu, sigma):
+    if cfg.trust_region == "jeffreys":
+        return D.kl_jeffreys(mu_b, sigma_b, mu, sigma)
+    return D.kl_normal(mu_b, sigma_b, mu, sigma)
 
 
 def flat_insert(cfg: VracerConfig, ts: TrainState, frep, batch):
@@ -423,7 +457,7 @@ def _loss_experience(cfg: VracerConfig, params, ts: TrainState, rows,
     v_loss = 0.5 * jnp.sum((V - vtarget) ** 2) / n_tot
     pg_w = jax.lax.stop_gradient(jnp.minimum(rho, cutoff) * adv * near)
     pg_loss = -jnp.sum(pg_w * logp) / n_tot
-    kl = D.kl_normal(rows["mu"], rows["sigma"], mu, sigma)
+    kl = _trust_kl(cfg, rows["mu"], rows["sigma"], mu, sigma)
     far = jnp.asarray(~near, kl.dtype)
     kl_loss = jnp.sum(far * kl) / n_tot
 
@@ -474,7 +508,8 @@ def update_experience(cfg: VracerConfig, ts: TrainState, frep, key):
     frep = replay_flat.refresh_metadata(frep, g, V_meta, rho_new, off_new,
                                         boot_new)
     frep, vtg_next = replay_flat.refresh_retrace(
-        frep, g, cfg.episode_length, cfg.gamma, scale, cfg.reward_floor)
+        frep, g, cfg.episode_length, cfg.gamma, scale, cfg.reward_floor,
+        scaled_floor=cfg.scaled_reward_floor)
 
     grads, metrics = jax.grad(
         lambda p: _loss_experience(cfg, p, ts, rows, vtg_next, scale, cutoff),
