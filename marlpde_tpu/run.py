@@ -294,8 +294,15 @@ def make_workload(args):
         raise SystemExit(f"unknown workload {w}")
 
     d = resolve_rl_defaults(args)
+    # Exploration ceiling default: an order of magnitude above the driver's
+    # Initial Exploration Noise, never beyond half the action range.  The
+    # flagship A/B/C (runs 905/907/908, results/flagship_r3/) shows test
+    # returns improve while sigma stays O(iex) and flatline/degrade once the
+    # ratchet passes ~10x iex; half-range alone (908) still let the late
+    # phase erode the final policy back to the uncontrolled baseline.
     sigma_max = (args.sigma_max if args.sigma_max is not None
-                 else (env.action_high - env.action_low) / 2.0)
+                 else min((env.action_high - env.action_low) / 2.0,
+                          10.0 * d["iex"]))
     rl_cfg = trainer.default_rl_config(
         env, width=d["width"], gamma=gamma, lr=args.lr, init_noise=d["iex"],
         multi_agent_relationship=args.mar,
