@@ -51,6 +51,19 @@ def irfft_real_mm(v):
     return _dft.idft_real(jnp.real(v), jnp.imag(v))
 
 
+def rfft_mm(u):
+    """np.fft.rfft via matmul (MXU path; the axon backend has no FFT op)."""
+    from marlpde_tpu.ops import dft as _dft
+    re, im = _dft.rdft(u)
+    return jax.lax.complex(re, im)
+
+
+def irfft_mm(rv, N: int):
+    """np.fft.irfft (Hermitian half-spectrum -> real) via matmul."""
+    from marlpde_tpu.ops import dft as _dft
+    return _dft.irdft(jnp.real(rv), jnp.imag(rv), N)
+
+
 def energy_spectrum(v, dx):
     """Kinetic energy per wavenumber: 0.5*Re(conj(v)*v)/N * dx.   [Burger.py:562]"""
     N = v.shape[-1]

@@ -48,6 +48,16 @@ class KSEnvConfig:
     basis_kind: str = "hat"
     reward_factor: float = 1.0
     truncation_penalty: float = -np.inf
+    # LES transform backend: 'auto' resolves to the DFT-matmul path off-CPU
+    # (the axon TPU backend has no FFT lowering — docs/TPU_NOTES.md rule 8;
+    # a matmul rfft at N=32 also rides the MXU) and plain jnp.fft on CPU.
+    fft_impl: str = "auto"
+
+    def _resolved_fft(self) -> str:
+        if self.fft_impl != "auto":
+            return self.fft_impl
+        import jax as _jax
+        return "fft" if _jax.default_backend() == "cpu" else "dft"
 
     @property
     def t_sim(self) -> float:
@@ -69,7 +79,8 @@ class KSEnvConfig:
 
     @property
     def les_solver(self) -> ks.KSConfig:
-        return ks.KSConfig(N=self.grid_size, L=self.L, dt=self.dt, dforce=self.dforce)
+        return ks.KSConfig(N=self.grid_size, L=self.L, dt=self.dt,
+                           dforce=self.dforce, fft_impl=self._resolved_fft())
 
     @property
     def obs_dim(self) -> int:
@@ -112,7 +123,18 @@ def action_basis(cfg: KSEnvConfig) -> np.ndarray:
     return basis_mod.make_basis(cfg.num_actions, cfg.grid_size, cfg.L, cfg.basis_kind)
 
 
-def make_dns_pool(cfg: KSEnvConfig, n_dns: int, key=None, dtype=jnp.float32) -> KSDnsPool:
+def make_dns_pool(cfg: KSEnvConfig, n_dns: int, key=None, dtype=jnp.float32,
+                  host: bool = True) -> KSDnsPool:
+    """Simulate the KS DNS pool (ks_environment.py:18-34: transient from a
+    noise IC, restart, then the t_end-t_transient production run).
+
+    host=True (default): the N_dns=1024 ETDRK4 DNS integrates in float64
+    numpy on the host — reference-grade fp64 ground truth, no giant on-device
+    trajectory program, and no FFT op on backends without one (the axon crash,
+    docs/TPU_NOTES.md rule 8).  host=False keeps the on-device jax build
+    (used by CPU tests that need keyed jax ICs)."""
+    if host:
+        return _make_dns_pool_host(cfg, n_dns, dtype)
     if key is None:
         key = jax.random.key(cfg.seed)
     dcfg = cfg.dns_solver
@@ -135,6 +157,69 @@ def make_dns_pool(cfg: KSEnvConfig, n_dns: int, key=None, dtype=jnp.float32) -> 
     keys = jax.random.split(key, n_dns)
     rows = [build(keys[i]) for i in range(n_dns)]
     stacked = {k: jnp.stack([r[k] for r in rows]) for k in rows[0]}
+    return KSDnsPool(**stacked)
+
+
+def _make_dns_pool_host(cfg: KSEnvConfig, n_dns: int, dtype) -> KSDnsPool:
+    """Host float64 numpy ETDRK4 DNS build; literal Kassam-Trefethen update
+    per KS.py:230-267 on the rfft half-spectrum (solvers/ks.py design note).
+    ICs come from numpy Philox seeded [seed, i] (like the Burgers host
+    build), scale 1e-3 per KS.py:173-175."""
+    N, L, dt, g = cfg.N_dns, cfg.L, cfg.dt, cfg.grid_size
+    dx = L / N
+    E, E2, Q, f1, f2, f3, gk = ks.etdrk4_coeffs(cfg.dns_solver)
+    nsteps = cfg.n_dns_steps
+    n_trans = int(cfg.t_transient / cfg.dt)
+    rows = []
+    for i in range(n_dns):
+        rng = np.random.default_rng([cfg.seed, i])
+        u = 1e-3 * rng.standard_normal(N)
+
+        def nl(z):
+            uz = np.fft.irfft(z, N)
+            return gk * np.fft.rfft(uz * uz)
+
+        def etdrk4(v):
+            Nv = nl(v)
+            a = E2 * v + Q * Nv
+            Na = nl(a)
+            b = E2 * v + Q * Na
+            Nb = nl(b)
+            c = E2 * a + Q * (2.0 * Nb - Nv)
+            Nc = nl(c)
+            return E * v + Nv * f1 + 2.0 * (Na + Nb) * f2 + Nc * f3
+
+        rv = np.fft.rfft(u)
+        for _ in range(n_trans):
+            rv = etdrk4(rv)
+        # restart from the transient endpoint (ks_environment.py:27-33)
+        u0 = np.fft.irfft(rv, N)
+        rv = np.fft.rfft(u0)
+        uu = np.empty((nsteps + 1, N))
+        ek_half = np.empty((nsteps + 1, g // 2))
+        uu[0] = u0
+        ek_half[0] = 0.5 * np.abs(rv[: g // 2]) ** 2 / N * dx
+        v0_full = np.fft.fft(u0)
+        for n in range(nsteps):
+            rv = etdrk4(rv)
+            uu[n + 1] = np.fft.irfft(rv, N)
+            # Ek_kt = 0.5*|v|^2/N*dx; modes 0..g/2-1 sit identically in the
+            # half spectrum (Burger.py:562 convention via full_spectrum)
+            ek_half[n + 1] = 0.5 * np.abs(rv[: g // 2]) ** 2 / N * dx
+        ek_ktt = np.cumsum(ek_half, 0) / np.arange(1, nsteps + 2)[:, None]
+        # periodic-spline coefficients (circulant solve, interp.periodic_spline_m)
+        d2 = np.roll(uu, 1, -1) - 2.0 * uu + np.roll(uu, -1, -1)
+        eig = 4.0 + 2.0 * np.cos(2.0 * np.pi * np.arange(N) / N)
+        m = np.real(np.fft.ifft(np.fft.fft(6.0 * d2, axis=-1) / eig, axis=-1))
+        rows.append(dict(uu=uu, spline_m=m, v0_re=v0_full.real,
+                         v0_im=v0_full.imag, ek_ktt=ek_ktt, nu=np.float64(1.0)))
+    # dtype conversion in numpy BEFORE device transfer (docs/TPU_NOTES.md rule 2)
+    rtype = np.float64 if dtype == jnp.float64 else np.float32
+    stacked = {}
+    for kname in rows[0]:
+        arrs = np.stack([np.asarray(r[kname]) for r in rows])
+        stacked[kname] = jax.device_put(np.ascontiguousarray(arrs.astype(rtype)))
+        jax.block_until_ready(stacked[kname])
     return KSDnsPool(**stacked)
 
 

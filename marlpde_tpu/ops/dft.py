@@ -50,3 +50,46 @@ def idft(v_re, v_im):
 def idft_real(v_re, v_im):
     """real(ifft(v)) for a general (possibly non-Hermitian) spectrum."""
     return idft(v_re, v_im)[0]
+
+
+@lru_cache(maxsize=32)
+def _rdft_mats(N: int, dtype_str: str):
+    half = N // 2 + 1
+    j = np.arange(N)[:, None]
+    k = np.arange(half)[None, :]
+    ang = -2.0 * np.pi * j * k / N
+    dtype = np.dtype(dtype_str)
+    return np.cos(ang).astype(dtype), np.sin(ang).astype(dtype)   # (N, half)
+
+
+def rdft(x):
+    """rfft of the last axis (real input); returns (re, im), shape (..., N//2+1).
+
+    Matmul form of np.fft.rfft for the MXU path (the axon TPU backend has no
+    FFT lowering — see docs/TPU_NOTES.md rule 8)."""
+    N = x.shape[-1]
+    C, S = _rdft_mats(N, str(x.dtype))
+    return x @ jnp.asarray(C), x @ jnp.asarray(S)
+
+
+@lru_cache(maxsize=32)
+def _irdft_mats(N: int, dtype_str: str):
+    # u_j = (1/N)[v_0 + (-1)^j v_{N/2} + sum_{k=1}^{N/2-1} 2*Re(v_k e^{2pi i jk/N})]
+    # (Hermitian reconstruction; Nyquist/DC weight 1, middle modes weight 2)
+    half = N // 2 + 1
+    k = np.arange(half)[:, None]
+    j = np.arange(N)[None, :]
+    ang = 2.0 * np.pi * j * k / N
+    w = np.full((half, 1), 2.0)
+    w[0, 0] = 1.0
+    if N % 2 == 0:
+        w[-1, 0] = 1.0
+    dtype = np.dtype(dtype_str)
+    return ((w * np.cos(ang) / N).astype(dtype),
+            (-w * np.sin(ang) / N).astype(dtype))                 # (half, N)
+
+
+def irdft(v_re, v_im, N: int):
+    """irfft: Hermitian half-spectrum (..., N//2+1) -> real field (..., N)."""
+    A, B = _irdft_mats(N, str(v_re.dtype))
+    return v_re @ jnp.asarray(A) + v_im @ jnp.asarray(B)

@@ -82,9 +82,68 @@ def make_sharded_generation(env: Env, rl_cfg: vracer.VracerConfig, mesh: Mesh,
       gen_fn(ts, rep_shard, key, episode_base) -> (ts, rep_shard, stats)
     where rep_shard's leading (capacity) axis is sharded over `axis`, ts is
     replicated, and stats carries mean return / episode length.
+
+    Both minibatch modes are supported with the SAME semantics as the
+    single-chip trainer (a --mesh run must not silently train a different
+    algorithm — ADVICE r3):
+      * "episode": device-local episode-slot replay shards, episode
+        minibatches, pmean'd grads, minibatch-frac_far beta (as before);
+      * "experience" (the run.py default): device-local FLAT replay shards
+        (korali's single buffer cut into n_dev slices), per-device
+        mini_batch_size/n_dev uniform samples with shard-local metadata +
+        retrace refresh, pmean'd grads, psum'd replay-wide off-policy
+        fraction and reward scale — korali's exact REFER economics, sharded.
     """
     n_dev = mesh.devices.size
+    exp_mode = rl_cfg.minibatch_mode == "experience"
+    if exp_mode:
+        from marlpde_tpu.rl import replay_flat
+        flat_cap = max(rl_cfg.replay_max_experiences // n_dev,
+                       envs_per_device * rl_cfg.episode_length)
+        flat_ep_cap = max(rl_cfg.flat_episode_capacity // n_dev,
+                          envs_per_device)
+        mb_local = max(1, rl_cfg.mini_batch_size // n_dev)
     cap_per_dev = max(rl_cfg.replay_capacity_episodes // n_dev, envs_per_device)
+
+    def local_generation_exp(ts, rep, key, episode_base, consts):
+        """Experience-mode generation on each device (local flat shard).
+
+        ``rep`` arrives with a leading per-device axis of length 1 (the flat
+        replay's scalar counters — cursor, n_episodes — are device-varying
+        under early termination, so EVERY leaf is stacked on a sharded
+        leading axis rather than mixing sharded buffers with replicated
+        scalars); squeeze it off for the local FlatReplay view."""
+        from marlpde_tpu.rl import replay_flat
+        rep = jax.tree.map(lambda a: a[0], rep)
+        dev = jax.lax.axis_index(axis)
+        k_col, k_upd = jax.random.split(jax.random.fold_in(key[0], dev))
+        base = episode_base[0] + dev * envs_per_device
+        traj, final = collect_episodes(env, rl_cfg, ts, k_col,
+                                       envs_per_device, base, consts=consts)
+        ts = vracer.observe_episodes(rl_cfg, ts, traj)
+        ts = ts.replace(
+            obs_stats=jax.tree.map(lambda a: jax.lax.pmean(a, axis), ts.obs_stats),
+            rew_stats=jax.tree.map(lambda a: jax.lax.pmean(a, axis), ts.rew_stats))
+        rep = vracer.flat_insert(rl_cfg, ts, rep, traj, axis=axis)
+
+        ready = (jax.lax.psum(replay_flat.num_experiences(rep), axis)
+                 >= rl_cfg.replay_start_experiences)
+        upd_keys = jax.random.split(k_upd, updates_per_gen)
+
+        def run_updates(operand):
+            def one_update(carry, k):
+                ts_c, rep_c = carry
+                ts2, rep2, _m = vracer.update_experience(
+                    rl_cfg, ts_c, rep_c, k, axis=axis, mini_batch=mb_local)
+                return (ts2, rep2), None
+            return jax.lax.scan(one_update, operand, upd_keys)[0]
+
+        ts, rep = jax.lax.cond(ready, run_updates, lambda o: o, (ts, rep))
+        stats = dict(
+            mean_return=jax.lax.pmean(final.cum_reward.mean(), axis),
+            mean_ep_len=jax.lax.pmean(traj["mask"].sum(1).mean(), axis),
+            experiences=jax.lax.psum(replay_flat.num_experiences(rep), axis))
+        return ts, jax.tree.map(lambda a: a[None], rep), stats
 
     def local_generation(ts, rep, key, episode_base, consts):
         """Runs on each device via shard_map (inputs are local shards)."""
@@ -135,15 +194,26 @@ def make_sharded_generation(env: Env, rl_cfg: vracer.VracerConfig, mesh: Mesh,
         return ts, rep, stats
 
     def make_rep():
+        if exp_mode:
+            # global layout: every leaf (buffers AND scalar counters) stacked
+            # on a leading n_dev axis sharded over `axis` — each device owns
+            # one FlatReplay shard of flat_cap experiences
+            from marlpde_tpu.rl import replay_flat
+            local = replay_flat.init_flat(flat_cap, flat_ep_cap,
+                                          env.num_agents, env.obs_dim,
+                                          env.act_dim)
+            return jax.tree.map(
+                lambda a: jnp.broadcast_to(a[None], (n_dev,) + a.shape), local)
         return replay_mod.init(cap_per_dev * n_dev, env.episode_length,
                                env.num_agents, env.obs_dim, env.act_dim)
 
-    rep_spec = leading_specs(jax.eval_shape(make_rep), axis)
+    rep_spec = (jax.tree.map(lambda _: P(axis), jax.eval_shape(make_rep))
+                if exp_mode else leading_specs(jax.eval_shape(make_rep), axis))
     # check_vma=False: scan carries inside mix device-varying (env states from
     # folded keys) and replicated values; the vma typecheck would require
     # manual pcasts at every scan entry for no semantic gain here.
     gen_fn = jax.jit(jax.shard_map(
-        local_generation, mesh=mesh,
+        local_generation_exp if exp_mode else local_generation, mesh=mesh,
         in_specs=(P(), rep_spec, P(axis), P(axis), P()),
         out_specs=(P(), rep_spec, P()), check_vma=False))
 

@@ -14,6 +14,21 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
+# Gradient leak of the sigma ceiling: above the cap the forward grows at this
+# slope instead of flat.  A hard min has exactly zero gradient above the cap,
+# so once a transient ratchet drives softplus-sigma past sigma_max neither the
+# trust-region KL nor the policy gradient can ever pull it back — sigma is
+# frozen at the ceiling for the rest of the run (ADVICE r3).  The leak keeps a
+# downward path (and damps further upward drift 20x) while staying an exact
+# identity below the cap.
+SIGMA_CAP_LEAK = 0.05
+
+
+def leaky_sigma_cap(sigma, sigma_max, leak: float = SIGMA_CAP_LEAK):
+    """min(sigma, cap) below the cap; cap + leak*(sigma-cap) above it."""
+    over = jnp.maximum(sigma - sigma_max, 0.0)
+    return jnp.minimum(sigma, sigma_max) + leak * over
+
 
 class VracerNet(nn.Module):
     act_dim: int
@@ -40,8 +55,9 @@ class VracerNet(nn.Module):
         # softplus(0) = log 2, so raw=0 yields sigma = init_noise exactly
         sigma = nn.softplus(raw) * (self.init_noise / float(np.log(2.0))) + self.sigma_floor
         if np.isfinite(self.sigma_max):
-            # hard ceiling: exact identity below the cap (a tanh cap would
+            # leaky ceiling: exact identity below the cap (a tanh cap would
             # distort sigma everywhere — iex=3 under cap 5 would start at
-            # 2.68), zero gradient above it (the upward ratchet just stops)
-            sigma = jnp.minimum(sigma, self.sigma_max)
+            # 2.68); above it a small leak keeps a downward gradient path so
+            # sigma can re-enter the feasible range (see leaky_sigma_cap)
+            sigma = leaky_sigma_cap(sigma, self.sigma_max)
         return v, mu, sigma

@@ -112,13 +112,11 @@ def _live_mask(rep: FlatReplay):
     return jnp.arange(rep.capacity) < rep.live          # (E,)
 
 
-def reward_scale(rep: FlatReplay, reward_floor=-jnp.inf, extra=None,
-                 extra_mask=None):
-    """korali Reward Rescaling sigma: sqrt(mean r^2 + eps) over the CURRENT
-    replay (second moment, no centering).  ``extra``/``extra_mask`` fold a
-    fresh (not yet inserted) episode batch into the statistic — korali adds
-    the episode's rewards to its running sum-of-squares before computing the
-    new episode's retrace values."""
+def reward_scale_sums(rep: FlatReplay, reward_floor=-jnp.inf, extra=None,
+                      extra_mask=None):
+    """(sum r^2, count) over the live buffer — the psum-able pieces of the
+    korali Reward Rescaling sigma.  Device-sharded replays psum these across
+    shards before the sqrt so every device sees the GLOBAL scale."""
     # blowup rewards (at/below the raw floor, e.g. the reference's -inf,
     # burger_environment.py:200) are EXCLUDED from the statistic: one -1e4 in
     # 1e5 ordinary ~1e-2 rewards would inflate sigma ~3000x and crush the
@@ -136,7 +134,31 @@ def reward_scale(rep: FlatReplay, reward_floor=-jnp.inf, extra=None,
         re = jnp.where(me > 0, extra, 0.0)
         s = s + jnp.sum(me * re * re)
         n = n + jnp.sum(me)
+    return s, n
+
+
+def scale_from_sums(s, n):
     return jnp.sqrt(jnp.maximum(s / jnp.maximum(n, 1.0), 1e-18))
+
+
+def reward_scale(rep: FlatReplay, reward_floor=-jnp.inf, extra=None,
+                 extra_mask=None):
+    """korali Reward Rescaling sigma: sqrt(mean r^2 + eps) over the CURRENT
+    replay (second moment, no centering).  ``extra``/``extra_mask`` fold a
+    fresh (not yet inserted) episode batch into the statistic — korali adds
+    the episode's rewards to its running sum-of-squares before computing the
+    new episode's retrace values."""
+    return scale_from_sums(*reward_scale_sums(rep, reward_floor, extra,
+                                              extra_mask))
+
+
+def off_policy_sums(rep: FlatReplay):
+    """(n_off, n_live_experiences) — psum-able pieces of the replay-wide
+    off-policy fraction for device-sharded replays."""
+    m = _live_mask(rep)[:, None]
+    n_off = jnp.sum(jnp.where(m, rep.off, False))
+    n = rep.live * rep.off.shape[1]
+    return n_off, n
 
 
 def off_policy_fraction(rep: FlatReplay):
@@ -144,10 +166,8 @@ def off_policy_fraction(rep: FlatReplay):
     experience flags over the live buffer (korali's
     _experienceReplayOffPolicyRatio — counted over the replay, not the
     minibatch)."""
-    m = _live_mask(rep)[:, None]
-    n_off = jnp.sum(jnp.where(m, rep.off, False))
-    n = jnp.maximum(rep.live * rep.off.shape[1], 1)
-    return n_off.astype(jnp.float32) / n.astype(jnp.float32)
+    n_off, n = off_policy_sums(rep)
+    return n_off.astype(jnp.float32) / jnp.maximum(n, 1).astype(jnp.float32)
 
 
 def num_experiences(rep: FlatReplay) -> jax.Array:

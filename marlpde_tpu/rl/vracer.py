@@ -200,7 +200,7 @@ def policy_apply(cfg: VracerConfig, ts: TrainState, obs):
         V, mu, sigma = mlp_pallas.mlp_forward(
             x.reshape(-1, cfg.obs_dim), ts.params, init_noise=cfg.init_noise)
         if np.isfinite(cfg.sigma_max):
-            sigma = jnp.minimum(sigma, cfg.sigma_max)
+            sigma = networks.leaky_sigma_cap(sigma, cfg.sigma_max)
         return (V.reshape(lead), mu.reshape(lead + (cfg.act_dim,)),
                 sigma.reshape(lead + (cfg.act_dim,)))
     return make_net(cfg).apply(ts.params, x)
@@ -242,10 +242,18 @@ def observe_episodes(cfg: VracerConfig, ts: TrainState, batch) -> TrainState:
             new_obs, batch["obs"].reshape(-1, cfg.obs_dim),
             weights=m.reshape(-1))
     if cfg.reward_rescaling:
+        # blowup rewards (raw <= reward_floor, e.g. the reference's -inf)
+        # are EXCLUDED from the statistic, mirroring replay_flat.reward_scale:
+        # one floored -1e4 in ~1e-2 ordinary rewards inflates the scale
+        # ~3000x and crushes the real learning signal (measured rew_scale
+        # 0.01 -> 571 on flagship 907; ADVICE r3)
+        w = mask_sa
+        if np.isfinite(cfg.reward_floor):
+            w = w * (batch["rewards"] > cfg.reward_floor).astype(w.dtype)
         new_rew = running_stats.update(
             new_rew,
             jnp.maximum(batch["rewards"], cfg.reward_floor).reshape(-1),
-            weights=mask_sa.reshape(-1))
+            weights=w.reshape(-1))
     return ts.replace(obs_stats=new_obs, rew_stats=new_rew)
 
 
@@ -410,20 +418,29 @@ def _trust_kl(cfg: VracerConfig, mu_b, sigma_b, mu, sigma):
     return D.kl_normal(mu_b, sigma_b, mu, sigma)
 
 
-def flat_insert(cfg: VracerConfig, ts: TrainState, frep, batch):
+def flat_insert(cfg: VracerConfig, ts: TrainState, frep, batch, axis=None):
     """korali processEpisode: when an episode enters the replay, compute its
     state values V(s), its on-policy (rho=1) retrace values in current
     scaled-reward units, and the truncated-state bootstrap V(s_T); then
     append the live steps to the flat experience ring.
 
     batch: episode tensors (B, T, na, ...) from collect_episodes.
+    ``axis``: shard_map mesh axis name when ``frep`` is a device-local shard —
+    the reward-rescaling statistic is then psum'd across shards so every
+    device computes retrace values with the GLOBAL scale.
     """
     from marlpde_tpu.rl import replay_flat
     V, _, _ = make_net(cfg).apply(ts.params, _prep_obs(cfg, ts, batch["obs"]))
-    scale = (replay_flat.reward_scale(frep, cfg.reward_floor,
-                                      extra=batch["rewards"],
-                                      extra_mask=batch["mask"])
-             if cfg.reward_rescaling else jnp.asarray(1.0, V.dtype))
+    if cfg.reward_rescaling:
+        s, n = replay_flat.reward_scale_sums(frep, cfg.reward_floor,
+                                             extra=batch["rewards"],
+                                             extra_mask=batch["mask"])
+        if axis is not None:
+            s = jax.lax.psum(s, axis)
+            n = jax.lax.psum(n, axis)
+        scale = replay_flat.scale_from_sums(s, n)
+    else:
+        scale = jnp.asarray(1.0, V.dtype)
     rewards = _rescale_rewards(cfg, batch["rewards"], scale)
     boot = (_sanitized_final_V(cfg, ts.params, ts, batch["final_obs"])
             * batch["truncated"].astype(V.dtype)[..., None])
@@ -468,7 +485,8 @@ def _loss_experience(cfg: VracerConfig, params, ts: TrainState, rows,
     return loss, metrics
 
 
-def update_experience(cfg: VracerConfig, ts: TrainState, frep, key):
+def update_experience(cfg: VracerConfig, ts: TrainState, frep, key,
+                      axis=None, mini_batch: int | None = None):
     """One korali-faithful VRACER update on the flat experience replay.
 
     Order follows korali's trainingGeneration step (Agent::attendAgent ->
@@ -487,15 +505,28 @@ def update_experience(cfg: VracerConfig, ts: TrainState, frep, key):
          NOT the minibatch).
 
     Returns (ts, frep, metrics).
+
+    Distributed mode (``axis`` = shard_map mesh axis name): ``frep`` is a
+    device-local shard and ``mini_batch`` the per-device slice of the global
+    minibatch (mini_batch_size // n_devices).  Each device samples/refreshes
+    its OWN shard (steps 1-3 are shard-local, like korali's single buffer cut
+    into n pieces); gradients are pmean'd and the reward scale + off-policy
+    fraction psum'd, so the parameter/beta update is bitwise-replicated.
     """
     from marlpde_tpu.rl import replay_flat
     f32 = jnp.float32
     n_upd = ts.n_updates.astype(f32)
     cutoff = cfg.cutoff_scale / (1.0 + cfg.annealing_rate * n_upd)
-    g = replay_flat.sample_ids(frep, key, cfg.mini_batch_size)
+    g = replay_flat.sample_ids(frep, key, mini_batch or cfg.mini_batch_size)
     rows = replay_flat.gather(frep, g)
-    scale = (replay_flat.reward_scale(frep, cfg.reward_floor)
-             if cfg.reward_rescaling else jnp.asarray(1.0, f32))
+    if cfg.reward_rescaling:
+        s, n = replay_flat.reward_scale_sums(frep, cfg.reward_floor)
+        if axis is not None:
+            s = jax.lax.psum(s, axis)
+            n = jax.lax.psum(n, axis)
+        scale = replay_flat.scale_from_sums(s, n)
+    else:
+        scale = jnp.asarray(1.0, f32)
 
     # -- metadata refresh (pre-update policy, like korali) --
     V_meta, mu_c, sigma_c = make_net(cfg).apply(
@@ -514,11 +545,18 @@ def update_experience(cfg: VracerConfig, ts: TrainState, frep, key):
     grads, metrics = jax.grad(
         lambda p: _loss_experience(cfg, p, ts, rows, vtg_next, scale, cutoff),
         has_aux=True)(ts.params)
+    if axis is not None:
+        grads = jax.tree.map(lambda a: jax.lax.pmean(a, axis), grads)
     updates, opt_state = make_optimizer(cfg).update(grads, ts.opt_state, ts.params)
     params = optax.apply_updates(ts.params, updates)
 
     # REFER beta annealing over the replay-wide fraction
-    frac_off = replay_flat.off_policy_fraction(frep)
+    if axis is not None:
+        n_off, n_live = replay_flat.off_policy_sums(frep)
+        frac_off = (jax.lax.psum(n_off, axis).astype(f32)
+                    / jnp.maximum(jax.lax.psum(n_live, axis), 1).astype(f32))
+    else:
+        frac_off = replay_flat.off_policy_fraction(frep)
     lr_t = jnp.asarray(cfg.lr, ts.beta.dtype) / (1.0 + cfg.annealing_rate * n_upd)
     beta = jnp.where(frac_off > cfg.offpolicy_target,
                      (1.0 - lr_t) * ts.beta, (1.0 - lr_t) * ts.beta + lr_t)

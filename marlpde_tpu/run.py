@@ -394,9 +394,12 @@ def main(argv=None):
                              f"device count {n_dev}")
         per_dev = args.numenvs // n_dev
         T = env.episode_length
-        upd = int(min(tc.max_updates_per_gen,
-                      max(1, args.numenvs * T * tc.reuse_ratio
-                          / (rl_cfg.mini_batch_episodes * T))))
+        # same korali economics as the single-chip trainer, honoring the
+        # configured minibatch mode (experience: numenvs*T/expperu updates/gen
+        # at global minibatch mbsize; episode: reuse over K*T minibatches) —
+        # previously the mesh branch silently forced episode-mode replay under
+        # experience-mode economics (ADVICE r3, medium)
+        upd = trainer.updates_per_generation(rl_cfg, tc, T)
         n_gens = max(1, int(tc.max_experiences // (args.numenvs * T)))
         init_ts = init_history = init_key = None
         if args.resume:
@@ -528,7 +531,8 @@ def main(argv=None):
         if meta is not None:
             init_key = meta["key"]
             init_counters = {k: meta[k]
-                             for k in ("gen", "total_exp", "episode_base")}
+                             for k in ("gen", "total_exp", "episode_base",
+                                       "real_in_replay") if k in meta}
         if init_ts is not None:
             print(f"[run] continuing from previous run in {result_dir} "
                   f"(replay={'yes' if init_replay is not None else 'no'}, "

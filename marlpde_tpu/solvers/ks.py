@@ -43,6 +43,24 @@ class KSConfig:
     dt: float = 0.25
     dforce: bool = True
     coeffs: Optional[tuple] = None   # 5-tuple altering the linear symbol (KS.py:120-124)
+    # 'fft' | 'dft': the axon TPU backend has no FFT lowering (every jnp.fft.*
+    # program dies UNIMPLEMENTED at dispatch — docs/TPU_NOTES.md rule 8, the
+    # round-3 KS crash); 'dft' expresses rfft/irfft as real matmuls
+    # (ops/dft.py rdft/irdft), which also rides the MXU for the batched tiny
+    # N<=256 transforms the LES runs.
+    fft_impl: str = "fft"
+
+    def _rfft(self, u):
+        if self.fft_impl == "dft":
+            from marlpde_tpu.core import spectral
+            return spectral.rfft_mm(u)
+        return jnp.fft.rfft(u, axis=-1)
+
+    def _irfft(self, rv):
+        if self.fft_impl == "dft":
+            from marlpde_tpu.core import spectral
+            return spectral.irfft_mm(rv, self.N)
+        return jnp.fft.irfft(rv, self.N, axis=-1)
 
     @property
     def grid(self) -> Grid:
@@ -100,14 +118,14 @@ def init(cfg: KSConfig, u0=None, v0=None) -> KSState:
     """v0 may be a full spectrum (reference layout) or an rfft half-spectrum."""
     if v0 is None:
         u0 = jnp.asarray(u0)
-        rv = jnp.fft.rfft(u0, axis=-1)
+        rv = cfg._rfft(u0)
     else:
         v0 = jnp.asarray(v0)
         if v0.shape[-1] == cfg.N:
             rv = half_spectrum(v0, cfg.N)
         else:
             rv = v0
-        u0 = jnp.fft.irfft(rv, cfg.N, axis=-1)
+        u0 = cfg._irfft(rv)
     batch = u0.shape[:-1]
     return KSState(u=u0, rv=rv, t=jnp.zeros(batch, u0.dtype),
                    ioutnum=jnp.zeros(batch, jnp.int32))
@@ -137,11 +155,11 @@ def step(cfg: KSConfig, state: KSState,
             d2udx2 = (jnp.roll(state.u, 1, -1) - 2.0 * state.u + jnp.roll(state.u, -1, -1)) / dx**2
             af = af * d2udx2
         aux["sgs"] = af
-        F = jnp.fft.rfft(af, axis=-1)
+        F = cfg._rfft(af)
 
     def nl(z):
-        uz = jnp.fft.irfft(z, cfg.N, axis=-1)
-        return gk * jnp.fft.rfft(uz * uz, axis=-1)
+        uz = cfg._irfft(z)
+        return gk * cfg._rfft(uz * uz)
 
     v = state.rv
     Nv = nl(v)
@@ -158,7 +176,7 @@ def step(cfg: KSConfig, state: KSState,
         v_new = E * v + Nv * f1 + 2.0 * (Na + Nb) * f2 + Nc * f3
 
     new_state = state.replace(
-        u=jnp.fft.irfft(v_new, cfg.N, axis=-1), rv=v_new,
+        u=cfg._irfft(v_new), rv=v_new,
         t=state.t + cfg.dt, ioutnum=state.ioutnum + 1)
     return new_state, aux
 
@@ -174,7 +192,7 @@ def simulate(cfg: KSConfig, state: KSState, nsteps: int, action_fields=None,
         s, _ = step(cfg, s, af)
         if correction is not None:
             rv = s.rv + half_spectrum(jnp.asarray(correction), cfg.N)
-            s = s.replace(rv=rv, u=jnp.fft.irfft(rv, cfg.N, axis=-1))
+            s = s.replace(rv=rv, u=cfg._irfft(rv))
         return s, (s.u, s.rv)
 
     if action_fields is None:

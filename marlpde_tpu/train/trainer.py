@@ -270,7 +270,20 @@ def train(env: Env, rl_cfg: Optional[vracer.VracerConfig] = None,
     real_mode = tc.count_real_experiences
     exp_per_update = (rl_cfg.mini_batch_size if exp_mode
                       else rl_cfg.mini_batch_episodes * T)
-    real_in_replay = 0   # live experiences inserted (replay-start gate)
+    # Cumulative live experiences inserted (korali's _experienceCount): drives
+    # the replay-start gate AND the cumulative update ledger below.  On resume
+    # it MUST be restored — restarting it at 0 while updates_done is restored
+    # from history makes the ledger shortfall 0 until the run re-collects
+    # replay_start + updates_done*expperu NEW experiences (i.e. zero updates
+    # for most of the resumed run; ADVICE r3, high).  In real mode total_exp
+    # itself counts only live experiences, so it is the exact fallback when an
+    # older checkpoint lacks the dedicated meta field.
+    if init_counters is not None and init_counters.get("real_in_replay") is not None:
+        real_in_replay = int(init_counters["real_in_replay"])
+    elif real_mode and total_exp:
+        real_in_replay = int(total_exp)
+    else:
+        real_in_replay = 0
 
     while total_exp < tc.max_experiences:
         key, k_c, k_u = jax.random.split(key, 3)
@@ -395,7 +408,8 @@ def train(env: Env, rl_cfg: Optional[vracer.VracerConfig] = None,
         if tc.checkpoint_dir and gen % tc.checkpoint_every == 0:
             from marlpde_tpu.utils import checkpoint as ckpt
             ckpt.save_train_state(tc.checkpoint_dir, ts, history)
-            ckpt.save_meta(tc.checkpoint_dir, key, gen, total_exp, episode_base)
+            ckpt.save_meta(tc.checkpoint_dir, key, gen, total_exp, episode_base,
+                           real_in_replay=real_in_replay)
             if tc.serialize_replay:
                 ckpt.save_replay(tc.checkpoint_dir, rep)
         if verbose and gen % tc.log_every == 0:
@@ -408,7 +422,8 @@ def train(env: Env, rl_cfg: Optional[vracer.VracerConfig] = None,
     if tc.checkpoint_dir:
         from marlpde_tpu.utils import checkpoint as ckpt
         ckpt.save_train_state(tc.checkpoint_dir, ts, history)
-        ckpt.save_meta(tc.checkpoint_dir, key, gen, total_exp, episode_base)
+        ckpt.save_meta(tc.checkpoint_dir, key, gen, total_exp, episode_base,
+                       real_in_replay=real_in_replay)
         if tc.serialize_replay:
             ckpt.save_replay(tc.checkpoint_dir, rep)
     return ts, rep, history

@@ -93,14 +93,24 @@ def load_history(path: str) -> Optional[dict]:
         return json.load(f)
 
 
-def save_meta(path: str, key, gen: int, total_exp: float, episode_base: int):
+def save_meta(path: str, key, gen: int, total_exp: float, episode_base: int,
+              real_in_replay: Optional[int] = None):
     """Trainer RNG key + counters — what korali folds into its state file so a
-    resumed run continues the exact same stream (run-vracer-burger.py:59-62)."""
+    resumed run continues the exact same stream (run-vracer-burger.py:59-62).
+
+    ``real_in_replay`` is the cumulative live-experience insert count (korali's
+    _experienceCount) — without it, a resumed --realexp experience-mode run
+    restarts the korali update ledger from 0 and takes no gradient updates
+    until it re-collects replay_start + past-updates*expperu NEW experiences
+    (ADVICE r3, high)."""
     os.makedirs(path, exist_ok=True)
+    extra = {}
+    if real_in_replay is not None:
+        extra["real_in_replay"] = np.int64(real_in_replay)
     np.savez(os.path.join(path, "meta.npz"),
              key=np.asarray(jax.random.key_data(key)),
              gen=np.int64(gen), total_exp=np.float64(total_exp),
-             episode_base=np.int64(episode_base))
+             episode_base=np.int64(episode_base), **extra)
 
 
 def load_meta(path: str) -> Optional[dict]:
@@ -108,9 +118,12 @@ def load_meta(path: str) -> Optional[dict]:
     if not os.path.exists(fname):
         return None
     d = np.load(fname)
-    return dict(key=jax.random.wrap_key_data(jax.numpy.asarray(d["key"])),
+    meta = dict(key=jax.random.wrap_key_data(jax.numpy.asarray(d["key"])),
                 gen=int(d["gen"]), total_exp=float(d["total_exp"]),
                 episode_base=int(d["episode_base"]))
+    if "real_in_replay" in d:
+        meta["real_in_replay"] = int(d["real_in_replay"])
+    return meta
 
 
 def _replay_fields(rep):
