@@ -302,29 +302,37 @@ def _draw_offset(cfg: BurgerEnvConfig, key, dtype):
 
 
 def reset(cfg: BurgerEnvConfig, pool: DnsPool, key, episode_count):
-    """Start an episode; returns (state, obs)."""
+    """Start an episode; returns (state, obs).
+
+    Pool fields are indexed per-FIELD (and per-frame where a frame suffices),
+    never via a whole-row gather: under vmap a row gather materializes the
+    episode's entire (T+1, N_dns) trajectory per env — 20 MB/env at the
+    burger-fd config, the round-3 42 GB OOM (runs/bench_fd_r3.log)."""
     n_pool = pool.nu.shape[0]
     sidx = jnp.asarray(episode_count % n_pool, jnp.int32)
-    row = _pool_row(pool, sidx)
-    dtype = row.uu.dtype
+    dtype = pool.uu.dtype
     offset = _draw_offset(cfg, key, dtype)
     lcfg = cfg.les_solver
     g = cfg.grid_size
+    nu = pool.nu[sidx]
+    rf1, rf2 = pool.randfac1[sidx], pool.randfac2[sidx]
 
     dns_k = jnp.asarray(cfg.dns_solver.grid.k, dtype)
     if cfg.spectral_reward:
         # spectral restriction + phase shift (burger_environment.py:110-112)
-        v0off = spectral.phase_shift(row.v0, offset, dns_k)
+        v0 = jax.lax.complex(pool.v0_re[sidx], pool.v0_im[sidx])
+        v0off = spectral.phase_shift(v0, offset, dns_k)
         v0 = spectral.restrict_modes(v0off, g)
-        st = burger.init(lcfg, v0=v0, nu=row.nu, offset=offset,
-                         randfac1=row.randfac1, randfac2=row.randfac2)
+        st = burger.init(lcfg, v0=v0, nu=nu, offset=offset,
+                         randfac1=rf1, randfac2=rf2)
     else:
         # interpolate the truth at the shifted coarse grid (burger_environment.py:114-119)
         newx = interp.shifted_query_points(
             jnp.asarray(lcfg.grid.x, dtype), offset, cfg.L)
-        u0 = interp.periodic_spline_eval(row.uu[0], row.spline_m[0], newx, cfg.L)
-        st = burger.init(lcfg, u0=u0, nu=row.nu, offset=offset,
-                         randfac1=row.randfac1, randfac2=row.randfac2)
+        u0 = interp.periodic_spline_eval(pool.uu[sidx, 0], pool.spline_m[sidx, 0],
+                                         newx, cfg.L)
+        st = burger.init(lcfg, u0=u0, nu=nu, offset=offset,
+                         randfac1=rf1, randfac2=rf2)
 
     ek0 = spectral.energy_spectrum(st.v, lcfg.grid.dx)
     state = BurgerEnvState(
@@ -343,14 +351,17 @@ def _observe(cfg: BurgerEnvConfig, state: BurgerEnvState):
         state.solver.v, cfg.dt, cfg.les_solver.grid.dx)
 
 
-def _mse_rewards(cfg: BurgerEnvConfig, pool_row, solver_state):
-    """Per-agent -(truth(x+offset, t) - u)^2 means (Burger.py:578-601)."""
+def _mse_rewards(cfg: BurgerEnvConfig, pool: DnsPool, sidx, solver_state):
+    """Per-agent -(truth(x+offset, t) - u)^2 means (Burger.py:578-601).
+
+    Indexes the single needed DNS frame pool.uu[sidx, fidx] in ONE gather —
+    see the reset docstring for why whole-row gathers are forbidden."""
     dtype = solver_state.u.dtype
     newx = interp.shifted_query_points(
         jnp.asarray(cfg.les_solver.grid.x, dtype), solver_state.offset, cfg.L)
-    fidx = interp.frame_index(solver_state.t, cfg.dt, pool_row.uu.shape[0])
-    truth = interp.periodic_spline_eval(pool_row.uu[fidx], pool_row.spline_m[fidx],
-                                        newx, cfg.L)
+    fidx = interp.frame_index(solver_state.t, cfg.dt, pool.uu.shape[1])
+    truth = interp.periodic_spline_eval(pool.uu[sidx, fidx],
+                                        pool.spline_m[sidx, fidx], newx, cfg.L)
     sq = (truth - solver_state.u) ** 2
     return -features.agent_block_mean(sq, cfg.num_agents)
 
@@ -361,7 +372,6 @@ def step(cfg: BurgerEnvConfig, pool: DnsPool, state: BurgerEnvState,
 
     Returns (state, obs, reward (num_agents,), done, info).
     """
-    row = _pool_row(pool, state.sidx)
     dtype = state.solver.u.dtype
     lcfg = cfg.les_solver
     dx = lcfg.grid.dx
@@ -373,7 +383,8 @@ def step(cfg: BurgerEnvConfig, pool: DnsPool, state: BurgerEnvState,
         new_sol, _aux = burger.step(lcfg, sol, action_field)
         ek_sum = ek_sum + spectral.energy_spectrum(new_sol.v, dx)
         if not cfg.spectral_reward:
-            mse_acc = mse_acc + _mse_rewards(cfg, row, new_sol) / cfg.n_intermediate
+            mse_acc = mse_acc + _mse_rewards(cfg, pool, state.sidx,
+                                             new_sol) / cfg.n_intermediate
         return (new_sol, ek_sum, mse_acc, sol.u), None
 
     init_carry = (state.solver, state.ek_sum,
@@ -398,8 +409,9 @@ def step(cfg: BurgerEnvConfig, pool: DnsPool, state: BurgerEnvState,
             base_sub, (state.solver.u, state.solver.v), None,
             length=cfg.n_intermediate)
         newx = jnp.asarray(lcfg.grid.x, dtype)
-        fidx = interp.frame_index(sol.t, cfg.dt, row.uu.shape[0])
-        truth = interp.periodic_spline_eval(row.uu[fidx], row.spline_m[fidx],
+        fidx = interp.frame_index(sol.t, cfg.dt, pool.uu.shape[1])
+        truth = interp.periodic_spline_eval(pool.uu[state.sidx, fidx],
+                                            pool.spline_m[state.sidx, fidx],
                                             newx, cfg.L)
         les_mse = jnp.mean((truth - sol.u) ** 2)
         base_mse = jnp.mean((truth - u_base) ** 2)
@@ -410,7 +422,7 @@ def step(cfg: BurgerEnvConfig, pool: DnsPool, state: BurgerEnvState,
         # cumulative-mean spectra at the current LES step (burger_environment.py:172-176)
         count = (sol.ioutnum + 1).astype(dtype)
         sgs_ektt = ek_sum[1: cfg.grid_size // 2] / count
-        dns_ektt = row.ek_ktt[sol.ioutnum, 1: cfg.grid_size // 2]
+        dns_ektt = pool.ek_ktt[state.sidx, sol.ioutnum, 1: cfg.grid_size // 2]
         rel_err = jnp.mean(((jnp.abs(dns_ektt - sgs_ektt)) / dns_ektt) ** 2)
         reward = jnp.full(cfg.num_agents, cfg.reward_factor * (state.prev_rel_err - rel_err))
         new_prev = rel_err

@@ -226,8 +226,9 @@ def _make_dns_pool_host(cfg: KSEnvConfig, n_dns: int, dtype) -> KSDnsPool:
 def reset(cfg: KSEnvConfig, pool: KSDnsPool, key, episode_count):
     n_pool = pool.nu.shape[0]
     sidx = jnp.asarray(episode_count % n_pool, jnp.int32)
-    row = jax.tree.map(lambda a: a[sidx], pool)
-    dtype = row.uu.dtype
+    # per-FIELD indexing only — a whole-row gather materializes the (T+1,
+    # N_dns) trajectory per env under vmap (see burger_env.reset docstring)
+    dtype = pool.uu.dtype
     g = cfg.grid_size
     dns_k = jnp.asarray(cfg.dns_solver.grid.k, dtype)
 
@@ -237,7 +238,8 @@ def reset(cfg: KSEnvConfig, pool: KSDnsPool, key, episode_count):
         lim = cfg.L / sigma
         offset = sigma * jax.random.truncated_normal(key, -lim, lim, dtype=dtype)
 
-    v0off = spectral.phase_shift(row.v0, offset, dns_k)
+    v0 = jax.lax.complex(pool.v0_re[sidx], pool.v0_im[sidx])
+    v0off = spectral.phase_shift(v0, offset, dns_k)
     v0 = spectral.restrict_modes(v0off, g)
     st = ks.init(cfg.les_solver, v0=v0)
 
@@ -266,7 +268,7 @@ def _observe(cfg: KSEnvConfig, state: KSEnvState):
 
 
 def step(cfg: KSEnvConfig, pool: KSDnsPool, state: KSEnvState, actions: jax.Array):
-    row = jax.tree.map(lambda a: a[state.sidx], pool)
+    # per-frame pool indexing (no whole-row gathers; see reset)
     dtype = state.solver.u.dtype
     lcfg = cfg.les_solver
     dx = lcfg.grid.dx
@@ -286,15 +288,17 @@ def step(cfg: KSEnvConfig, pool: KSDnsPool, state: KSEnvState, actions: jax.Arra
     if cfg.spectral_reward:
         count = (sol.ioutnum + 1).astype(dtype)
         sgs_ektt = ek_sum[1: cfg.grid_size // 2] / count
-        dns_ektt = row.ek_ktt[sol.ioutnum, 1: cfg.grid_size // 2]
+        dns_ektt = pool.ek_ktt[state.sidx, sol.ioutnum, 1: cfg.grid_size // 2]
         rel_err = jnp.mean(((jnp.abs(dns_ektt - sgs_ektt)) / dns_ektt) ** 2)
         reward = jnp.full(cfg.num_agents, cfg.reward_factor * (state.prev_rel_err - rel_err))
         new_prev = rel_err
     else:
         # pointwise -(|u - truth|) mean per agent block (KS.py:360-367)
-        fidx = interp.frame_index(sol.t, cfg.dt, row.uu.shape[0])
+        fidx = interp.frame_index(sol.t, cfg.dt, pool.uu.shape[1])
         x = jnp.asarray(lcfg.grid.x, dtype)
-        truth = interp.periodic_spline_eval(row.uu[fidx], row.spline_m[fidx], x, cfg.L)
+        truth = interp.periodic_spline_eval(pool.uu[state.sidx, fidx],
+                                            pool.spline_m[state.sidx, fidx],
+                                            x, cfg.L)
         reward = -features.agent_block_mean(jnp.abs(sol.u - truth), cfg.num_agents)
         new_prev = state.prev_rel_err
 

@@ -374,7 +374,8 @@ def _loss(cfg: VracerConfig, params, ts: TrainState, batch, cutoff):
     frac_far = jnp.sum(w * far) / denom
     metrics = dict(loss=loss, v_loss=v_loss, pg_loss=pg_loss, kl_loss=kl_loss,
                    frac_far=frac_far, mean_rho=jnp.sum(w * rho) / denom,
-                   mean_sigma=sigma.mean(), mean_V=jnp.sum(w * V) / denom)
+                   mean_sigma=sigma.mean(), mean_mu=mu.mean(),
+                   mean_V=jnp.sum(w * V) / denom)
     return loss, metrics
 
 
@@ -481,7 +482,7 @@ def _loss_experience(cfg: VracerConfig, params, ts: TrainState, rows,
     loss = cfg.value_coef * v_loss + ts.beta * pg_loss + (1.0 - ts.beta) * kl_loss
     metrics = dict(loss=loss, v_loss=v_loss, pg_loss=pg_loss, kl_loss=kl_loss,
                    frac_far=far.mean(), mean_rho=rho.mean(),
-                   mean_sigma=sigma.mean(), mean_V=V.mean())
+                   mean_sigma=sigma.mean(), mean_mu=mu.mean(), mean_V=V.mean())
     return loss, metrics
 
 

@@ -83,6 +83,12 @@ def build_parser():
                         "0.26 -> 8.5 over 100 generations, degrading "
                         "collection).  Pass inf for korali-unbounded")
     # learner flags
+    p.add_argument("--beta0", type=float, default=None,
+                   help="initial REFER beta (korali: 0.3); diagnostic knob")
+    p.add_argument("--trust", type=str, default=None,
+                   choices=["jeffreys", "forward"],
+                   help="far-policy trust-region divergence (default: the "
+                        "VracerConfig default, jeffreys)")
     p.add_argument("--learner", type=str, default="vracer",
                    choices=["vracer", "apg"],
                    help="apg = analytic policy gradient through the "
@@ -303,6 +309,11 @@ def make_workload(args):
     sigma_max = (args.sigma_max if args.sigma_max is not None
                  else min((env.action_high - env.action_low) / 2.0,
                           10.0 * d["iex"]))
+    extra = {}
+    if args.beta0 is not None:
+        extra["refer_beta"] = args.beta0
+    if args.trust is not None:
+        extra["trust_region"] = args.trust
     rl_cfg = trainer.default_rl_config(
         env, width=d["width"], gamma=gamma, lr=args.lr, init_noise=d["iex"],
         multi_agent_relationship=args.mar,
@@ -311,7 +322,7 @@ def make_workload(args):
         minibatch_mode=args.minibatch, mini_batch_size=args.mbsize,
         experiences_between_updates=d["expperu"],
         replay_start_experiences=d["rstart"],
-        replay_max_experiences=d["rmax"])
+        replay_max_experiences=d["rmax"], **extra)
     # korali always counts LIVE experiences toward NE and the update ledger;
     # the padded accounting is only kept for the fused one-dispatch TPU path
     # (fixed-length episodes make the two identical there).
