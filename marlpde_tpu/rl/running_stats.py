@@ -55,3 +55,11 @@ def normalize(rs: RunningStats, x):
 def scale(rs: RunningStats, x):
     """Reward rescaling: divide by running std, no centering (korali behavior)."""
     return x / rs.std
+
+
+def second_moment(rs: RunningStats):
+    """sqrt(E[x^2]) of everything ever folded in — the uncentered scale the
+    flat-replay reward rescaling uses, but over the CUMULATIVE run history
+    instead of the live buffer (monotone count => slowly drifting scale)."""
+    ex2 = rs.m2 / jnp.maximum(rs.count, 1.0) + rs.mean**2
+    return jnp.sqrt(jnp.maximum(ex2, 1e-18))

@@ -129,6 +129,16 @@ class VracerConfig:
     # replay-start buffer and FROZEN once policy updates begin (see
     # observe_episodes).  False keeps the round-2 continuously-updated stats.
     freeze_state_rescaling: bool = True
+    # Reward-rescaling statistic source for the flat experience replay:
+    # 'replay' = korali's live-buffer second moment (recomputed per update);
+    # 'cumulative' = sqrt(E[r^2]) over every experience ever collected (the
+    # Welford rew_stats).  The live-buffer scale SWINGS 2-3x between
+    # generations on the burger flagship (runs/flagship_909: rew_scale
+    # 0.0122 -> 0.0043 -> 0.0098 across gens 11..500), re-scaling the value
+    # target each time and spiking v_loss (32/11.6/14.6 measured) — a
+    # measured driver of the late-run peak decay.  'cumulative' drifts
+    # monotonically slower as count grows.
+    reward_scale_source: str = "replay"    # 'replay' | 'cumulative'
     # Episode-ring capacity of the flat experience replay (experience mode);
     # None -> max(replay_max_experiences // 4, 1024).  Episodes averaging
     # fewer than max_experiences/this steps could wrap the episode ring while
@@ -432,7 +442,14 @@ def flat_insert(cfg: VracerConfig, ts: TrainState, frep, batch, axis=None):
     """
     from marlpde_tpu.rl import replay_flat
     V, _, _ = make_net(cfg).apply(ts.params, _prep_obs(cfg, ts, batch["obs"]))
-    if cfg.reward_rescaling:
+    if not cfg.reward_rescaling:
+        scale = jnp.asarray(1.0, V.dtype)
+    elif cfg.reward_scale_source == "cumulative":
+        # rew_stats already folded these episodes in (observe_episodes runs
+        # before flat_insert in both trainer paths) and is replicated on a
+        # mesh, so no psum is needed
+        scale = running_stats.second_moment(ts.rew_stats)
+    else:
         s, n = replay_flat.reward_scale_sums(frep, cfg.reward_floor,
                                              extra=batch["rewards"],
                                              extra_mask=batch["mask"])
@@ -440,8 +457,6 @@ def flat_insert(cfg: VracerConfig, ts: TrainState, frep, batch, axis=None):
             s = jax.lax.psum(s, axis)
             n = jax.lax.psum(n, axis)
         scale = replay_flat.scale_from_sums(s, n)
-    else:
-        scale = jnp.asarray(1.0, V.dtype)
     rewards = _rescale_rewards(cfg, batch["rewards"], scale)
     boot = (_sanitized_final_V(cfg, ts.params, ts, batch["final_obs"])
             * batch["truncated"].astype(V.dtype)[..., None])
@@ -520,14 +535,16 @@ def update_experience(cfg: VracerConfig, ts: TrainState, frep, key,
     cutoff = cfg.cutoff_scale / (1.0 + cfg.annealing_rate * n_upd)
     g = replay_flat.sample_ids(frep, key, mini_batch or cfg.mini_batch_size)
     rows = replay_flat.gather(frep, g)
-    if cfg.reward_rescaling:
+    if not cfg.reward_rescaling:
+        scale = jnp.asarray(1.0, f32)
+    elif cfg.reward_scale_source == "cumulative":
+        scale = running_stats.second_moment(ts.rew_stats)
+    else:
         s, n = replay_flat.reward_scale_sums(frep, cfg.reward_floor)
         if axis is not None:
             s = jax.lax.psum(s, axis)
             n = jax.lax.psum(n, axis)
         scale = replay_flat.scale_from_sums(s, n)
-    else:
-        scale = jnp.asarray(1.0, f32)
 
     # -- metadata refresh (pre-update policy, like korali) --
     V_meta, mu_c, sigma_c = make_net(cfg).apply(

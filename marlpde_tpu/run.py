@@ -85,6 +85,14 @@ def build_parser():
     # learner flags
     p.add_argument("--beta0", type=float, default=None,
                    help="initial REFER beta (korali: 0.3); diagnostic knob")
+    p.add_argument("--offtarget", type=float, default=None,
+                   help="REFER off-policy target D (korali: 0.1); diagnostic")
+    p.add_argument("--rscale", type=str, default=None,
+                   choices=["replay", "cumulative"],
+                   help="experience-mode reward-rescaling statistic: korali's "
+                        "live-buffer second moment (default) or the cumulative "
+                        "run history (stable late-run value targets; see "
+                        "VracerConfig.reward_scale_source)")
     p.add_argument("--trust", type=str, default=None,
                    choices=["jeffreys", "forward"],
                    help="far-policy trust-region divergence (default: the "
@@ -268,9 +276,13 @@ def make_workload(args):
             ic_case=args.ic or "box", noise=args.noise, seed=args.seed)
         gamma = args.gamma if args.gamma is not None else 1.0
     elif w == "ks":
+        # env-module defaults N_dns=1024, dt=0.25 (ks_environment.py:5-12);
+        # the production launcher overrides NDNS=2048, dt=0.1, iex=1e-4
+        # (runs/launcher_ks.sh:7-10)
         env = registry.make_env(
             "ks", N_dns=args.NDNS if args.NDNS != 512 else 1024,
             grid_size=args.N or 32, num_actions=args.NA or 32,
+            dt=args.dt or 0.25,
             episode_length=args.episodelength, noise=args.noise,
             seed=args.seed, n_dns=args.ndns)
         gamma = args.gamma if args.gamma is not None else 1.0
@@ -314,6 +326,10 @@ def make_workload(args):
         extra["refer_beta"] = args.beta0
     if args.trust is not None:
         extra["trust_region"] = args.trust
+    if args.rscale is not None:
+        extra["reward_scale_source"] = args.rscale
+    if args.offtarget is not None:
+        extra["offpolicy_target"] = args.offtarget
     rl_cfg = trainer.default_rl_config(
         env, width=d["width"], gamma=gamma, lr=args.lr, init_noise=d["iex"],
         multi_agent_relationship=args.mar,
