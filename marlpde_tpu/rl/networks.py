@@ -11,6 +11,7 @@ driver's "Initial Exploration Noise" (run-vracer-burger.py:158).
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -36,6 +37,23 @@ class VracerNet(nn.Module):
     n_hidden: int = 2
     init_noise: float = 0.1       # initial sigma (iex)
     sigma_floor: float = 1e-5
+    # Policy-mean parameterization.
+    #   'absolute':        mu = Dense(h) — korali-style direct output.
+    #   'sigma_relative':  mu = Dense_0init(h) * stop_grad(sigma) — the mean
+    #     is expressed in units of the exploration stddev (eNAC / natural-
+    #     gradient coordinates).  Rationale (measured, runs/ks_916.log +
+    #     runs/diffusion_961.log): Adam's per-weight step is scale-free, so
+    #     with 'absolute' the policy mean drifts ~lr per update in ABSOLUTE
+    #     action units regardless of sigma.  When sigma << that drift scale
+    #     (reference KS: iex=1e-3 on a +-5 action range,
+    #     run-vracer-ks.py:15,99-101) every replay experience goes far-policy
+    #     within one generation, REFER's beta collapses (measured 0.3 ->
+    #     5e-4) and learning freezes.  In sigma units the policy-gradient
+    #     d logpi / d mu_tilde = (a-mu)/sigma is O(1), Adam's drift becomes
+    #     proportional to sigma, and the REFER drift budget is satisfiable at
+    #     any iex.  The zero-init also starts mu at exactly 0 (the
+    #     uncontrolled baseline) instead of a random O(0.1) field.
+    mu_param: str = "absolute"    # 'absolute' | 'sigma_relative'
     # Exploration-sigma ceiling.  korali leaves sigma unbounded; in long
     # spectral-reward runs the policy gradient can inflate sigma without
     # limit (observed: 0.2 -> 5.9 over 1e5 updates, degrading collection
@@ -50,7 +68,14 @@ class VracerNet(nn.Module):
         for _ in range(self.n_hidden):
             h = nn.tanh(nn.Dense(self.width)(h))
         v = nn.Dense(1)(h)[..., 0]
-        mu = nn.Dense(self.act_dim)(h)
+        # NB: module creation order fixes flax param names (Dense_3 = mean
+        # head, Dense_4 = sigma head) — keep it stable across mu_param modes
+        # so checkpoints can never silently cross-load swapped heads.
+        if self.mu_param == "sigma_relative":
+            mu_head = nn.Dense(self.act_dim, kernel_init=nn.initializers.zeros)
+        else:
+            mu_head = nn.Dense(self.act_dim)
+        mu = mu_head(h)
         raw = nn.Dense(self.act_dim, kernel_init=nn.initializers.zeros)(h)
         # softplus(0) = log 2, so raw=0 yields sigma = init_noise exactly
         sigma = nn.softplus(raw) * (self.init_noise / float(np.log(2.0))) + self.sigma_floor
@@ -60,4 +85,7 @@ class VracerNet(nn.Module):
             # 2.68); above it a small leak keeps a downward gradient path so
             # sigma can re-enter the feasible range (see leaky_sigma_cap)
             sigma = leaky_sigma_cap(sigma, self.sigma_max)
+        if self.mu_param == "sigma_relative":
+            # mu (the Dense output above) is mu-in-sigma-units; rescale
+            mu = mu * jax.lax.stop_gradient(sigma)
         return v, mu, sigma

@@ -139,6 +139,25 @@ class VracerConfig:
     # measured driver of the late-run peak decay.  'cumulative' drifts
     # monotonically slower as count grows.
     reward_scale_source: str = "replay"    # 'replay' | 'cumulative'
+    # Policy-mean parameterization (networks.VracerNet.mu_param):
+    # 'sigma_relative' expresses the mean in units of the exploration stddev
+    # (natural-gradient coordinates) so Adam's scale-free step moves the
+    # policy proportionally to sigma — required for learnability when iex is
+    # far below the action range (reference KS: iex=1e-3 on +-5,
+    # run-vracer-ks.py:15,99-101; measured beta collapse in runs/ks_916.log).
+    mu_param: str = "absolute"             # 'absolute' | 'sigma_relative'
+    # Dimension-normalized off-policy cutoff: korali's fixed cutoff c=4.0
+    # bounds the JOINT log importance weight, which by CLT grows as
+    # sqrt(d_action) * per-dim drift — so the per-dimension drift budget
+    # shrinks as 1/sqrt(d) and a d=128 single-agent policy
+    # (run-vracer-diffusion-simple.py:5-9: N=128, numAgents=1 -> 128 actions
+    # per sample) is frozen at ~0.07 sigma TOTAL drift over the replay
+    # lifetime (measured: runs/diffusion_961.log flat for 330k updates).
+    # With True, the near-policy test and the replay off-policy fraction use
+    # |log rho| < sqrt(d) * log(c) — dimension-invariant drift budget,
+    # exactly korali at d=1.  The pg truncation min(rho, c) keeps the
+    # UN-normalized cutoff to bound importance-sampling variance.
+    cutoff_dim_norm: bool = False
     # Episode-ring capacity of the flat experience replay (experience mode);
     # None -> max(replay_max_experiences // 4, 1024).  Episodes averaging
     # fewer than max_experiences/this steps could wrap the episode ring while
@@ -173,7 +192,31 @@ class TrainState(struct.PyTreeNode):
 def make_net(cfg: VracerConfig) -> networks.VracerNet:
     return networks.VracerNet(act_dim=cfg.act_dim, width=cfg.width,
                               n_hidden=cfg.n_hidden, init_noise=cfg.init_noise,
-                              sigma_max=cfg.sigma_max)
+                              sigma_max=cfg.sigma_max, mu_param=cfg.mu_param)
+
+
+def _log_ratio_clip(cfg: VracerConfig) -> float:
+    """Numeric-safety clip for joint log importance ratios.  Must sit ABOVE
+    log(near_cutoff) or the near test saturates to always-true; 20 suffices
+    for korali's c<=4 (e^20~5e8), widened under cutoff_dim_norm."""
+    if not cfg.cutoff_dim_norm:
+        return 20.0
+    d = cfg.act_dim * (cfg.num_agents if (cfg.multi_agent_correlation
+                                          and cfg.num_agents > 1) else 1)
+    return float(min(60.0, max(20.0, np.sqrt(d) * np.log(cfg.cutoff_scale) + 5.0)))
+
+
+def near_cutoff(cfg: VracerConfig, cutoff):
+    """Cutoff for the NEAR-policy test / off-policy fraction.  With
+    cutoff_dim_norm the log-cutoff scales with sqrt(d_action) (CLT scaling of
+    the joint log importance weight; see the config field's rationale);
+    d counts every dimension entering the joint log-ratio — act_dim, times
+    num_agents under Multi Agent Correlation."""
+    if not cfg.cutoff_dim_norm:
+        return cutoff
+    d = cfg.act_dim * (cfg.num_agents if (cfg.multi_agent_correlation
+                                          and cfg.num_agents > 1) else 1)
+    return cutoff ** float(np.sqrt(d))
 
 
 def make_optimizer(cfg: VracerConfig):
@@ -331,17 +374,19 @@ def _loss(cfg: VracerConfig, params, ts: TrainState, batch, cutoff):
                             cfg.action_low, cfg.action_high)
     logp_b = D.joint_log_prob(batch["actions"], batch["mu"], batch["sigma"],
                               cfg.action_low, cfg.action_high)
-    log_ratio = jnp.clip(logp - logp_b, -20.0, 20.0)
+    lr_clip = _log_ratio_clip(cfg)
+    log_ratio = jnp.clip(logp - logp_b, -lr_clip, lr_clip)
     if cfg.multi_agent_correlation and cfg.num_agents > 1:
         # korali "Multi Agent Correlation" (run-vracer-burger-marl.py:113):
         # the agents' simultaneous actions are one joint policy sample, so the
         # importance weight is the PRODUCT over agents, shared by every
         # agent's experience at that timestep (sum of per-agent log-ratios).
         log_ratio = jnp.broadcast_to(
-            jnp.clip(log_ratio.sum(-1, keepdims=True), -20.0, 20.0),
+            jnp.clip(log_ratio.sum(-1, keepdims=True), -lr_clip, lr_clip),
             log_ratio.shape)
     rho = jnp.exp(log_ratio)
-    near = (rho > 1.0 / cutoff) & (rho < cutoff)
+    nc = near_cutoff(cfg, cutoff)
+    near = (rho > 1.0 / nc) & (rho < nc)
 
     # Truncated-episode bootstrap (burger_environment.py:198-204): blowup ends
     # bootstrap the V-trace tail from V(s_T).  The pre-blowup final obs can be
@@ -415,10 +460,11 @@ def _joint_rho(cfg: VracerConfig, actions, mu, sigma, mu_b, sigma_b):
     logp = D.joint_log_prob(actions, mu, sigma, cfg.action_low, cfg.action_high)
     logp_b = D.joint_log_prob(actions, mu_b, sigma_b,
                               cfg.action_low, cfg.action_high)
-    log_ratio = jnp.clip(logp - logp_b, -20.0, 20.0)
+    lr_clip = _log_ratio_clip(cfg)
+    log_ratio = jnp.clip(logp - logp_b, -lr_clip, lr_clip)
     if cfg.multi_agent_correlation and cfg.num_agents > 1:
         log_ratio = jnp.broadcast_to(
-            jnp.clip(log_ratio.sum(-1, keepdims=True), -20.0, 20.0),
+            jnp.clip(log_ratio.sum(-1, keepdims=True), -lr_clip, lr_clip),
             log_ratio.shape)
     return jnp.exp(log_ratio), logp
 
@@ -478,7 +524,8 @@ def _loss_experience(cfg: VracerConfig, params, ts: TrainState, rows,
     rewards = _rescale_rewards(cfg, rows["rewards"], scale)
     rho, logp = _joint_rho(cfg, rows["actions"], mu, sigma,
                            rows["mu"], rows["sigma"])
-    near = (rho > 1.0 / cutoff) & (rho < cutoff)
+    nc = near_cutoff(cfg, cutoff)
+    near = (rho > 1.0 / nc) & (rho < nc)
 
     rho_bar = jax.lax.stop_gradient(jnp.minimum(rho, 1.0))
     Vsg = jax.lax.stop_gradient(V)
@@ -551,7 +598,8 @@ def update_experience(cfg: VracerConfig, ts: TrainState, frep, key,
         ts.params, _prep_obs(cfg, ts, rows["obs"]))
     rho_new, _ = _joint_rho(cfg, rows["actions"], mu_c, sigma_c,
                             rows["mu"], rows["sigma"])
-    off_new = ~((rho_new > 1.0 / cutoff) & (rho_new < cutoff))
+    nc_meta = near_cutoff(cfg, cutoff)
+    off_new = ~((rho_new > 1.0 / nc_meta) & (rho_new < nc_meta))
     boot_new = (_sanitized_final_V(cfg, ts.params, ts, rows["fin_obs"])
                 * rows["truncated"].astype(V_meta.dtype)[..., None])
     frep = replay_flat.refresh_metadata(frep, g, V_meta, rho_new, off_new,

@@ -97,6 +97,17 @@ def build_parser():
                    choices=["jeffreys", "forward"],
                    help="far-policy trust-region divergence (default: the "
                         "VracerConfig default, jeffreys)")
+    p.add_argument("--muparam", type=str, default=None,
+                   choices=["absolute", "sigma_relative"],
+                   help="policy-mean parameterization: direct output "
+                        "(korali-style) or in units of the exploration "
+                        "stddev (natural-gradient coordinates; required "
+                        "when iex << action range — see "
+                        "networks.VracerNet.mu_param)")
+    p.add_argument("--dimnorm", action="store_true", default=None,
+                   help="sqrt(d_action)-normalized off-policy cutoff "
+                        "(dimension-invariant REFER drift budget; exactly "
+                        "korali at d=1 — see VracerConfig.cutoff_dim_norm)")
     p.add_argument("--learner", type=str, default="vracer",
                    choices=["vracer", "apg"],
                    help="apg = analytic policy gradient through the "
@@ -330,6 +341,10 @@ def make_workload(args):
         extra["reward_scale_source"] = args.rscale
     if args.offtarget is not None:
         extra["offpolicy_target"] = args.offtarget
+    if args.muparam is not None:
+        extra["mu_param"] = args.muparam
+    if args.dimnorm is not None:
+        extra["cutoff_dim_norm"] = args.dimnorm
     rl_cfg = trainer.default_rl_config(
         env, width=d["width"], gamma=gamma, lr=args.lr, init_noise=d["iex"],
         multi_agent_relationship=args.mar,

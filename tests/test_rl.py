@@ -776,3 +776,67 @@ class TestBestCheckpoint:
         assert meta["test_return"] == max(hist["test_return"])
         back = ckpt.load_train_state(str(tmp_path / "best"), rl)
         assert back is not None
+
+
+class TestScaleRobustKnobs:
+    """sigma-relative mean parameterization + dimension-normalized cutoff
+    (the round-4 REFER scale fixes; rationale at VracerConfig.mu_param /
+    cutoff_dim_norm)."""
+
+    def _cfg(self, **kw):
+        return vracer.VracerConfig(obs_dim=6, act_dim=4, num_agents=1,
+                                   episode_length=8, **kw)
+
+    def test_sigma_relative_mu_starts_at_zero(self):
+        cfg = self._cfg(mu_param="sigma_relative", init_noise=1e-3)
+        ts = vracer.init_train(cfg, jax.random.PRNGKey(0))
+        obs = jax.random.normal(jax.random.PRNGKey(1), (5, 6))
+        _, mu, sigma = vracer.make_net(cfg).apply(ts.params, obs)
+        np.testing.assert_allclose(np.asarray(mu), 0.0)
+        np.testing.assert_allclose(np.asarray(sigma), 1e-3 + 1e-5, rtol=1e-4)
+
+    def test_sigma_relative_param_tree_matches_absolute(self):
+        # creation order is pinned so checkpoints can never cross-load
+        # swapped mean/sigma heads (networks.VracerNet.__call__ NB comment)
+        ca = self._cfg()
+        cs = self._cfg(mu_param="sigma_relative")
+        ta = vracer.init_train(ca, jax.random.PRNGKey(0))
+        ts = vracer.init_train(cs, jax.random.PRNGKey(0))
+        sa = jax.tree.map(lambda a: a.shape, ta.params)
+        ss = jax.tree.map(lambda a: a.shape, ts.params)
+        assert jax.tree_util.tree_structure(sa) == jax.tree_util.tree_structure(ss)
+
+    def test_sigma_relative_mu_grad_is_sigma_scaled(self):
+        # d mu / d (head kernel) carries the sigma factor: gradients at
+        # iex=1e-3 and iex=1.0 differ by exactly 1e-3 at zero-init
+        mus = {}
+        for iex in (1e-3, 1.0):
+            cfg = self._cfg(mu_param="sigma_relative", init_noise=iex)
+            ts = vracer.init_train(cfg, jax.random.PRNGKey(0))
+            obs = jax.random.normal(jax.random.PRNGKey(1), (3, 6))
+            g = jax.grad(lambda p: vracer.make_net(cfg).apply(p, obs)[1].sum())(
+                ts.params)
+            leaves, _ = jax.tree_util.tree_flatten(
+                jax.tree.map(lambda a: np.abs(np.asarray(a)).sum(), g))
+            mus[iex] = sum(leaves)
+        # sigma_floor (1e-5) shifts the exact ratio slightly
+        np.testing.assert_allclose(mus[1e-3], 1e-3 * mus[1.0], rtol=2e-2)
+
+    def test_near_cutoff_dim_norm(self):
+        cfg = self._cfg(cutoff_dim_norm=True)          # d = 4
+        np.testing.assert_allclose(vracer.near_cutoff(cfg, 4.0), 4.0 ** 2.0)
+        cfg1 = vracer.VracerConfig(obs_dim=3, act_dim=1, cutoff_dim_norm=True)
+        np.testing.assert_allclose(vracer.near_cutoff(cfg1, 4.0), 4.0)  # korali at d=1
+        cfg_mac = vracer.VracerConfig(obs_dim=6, act_dim=4, num_agents=4,
+                                      cutoff_dim_norm=True,
+                                      multi_agent_correlation=True)  # d = 16
+        np.testing.assert_allclose(vracer.near_cutoff(cfg_mac, 4.0), 4.0 ** 4.0)
+        off = self._cfg()                               # default: korali cutoff
+        np.testing.assert_allclose(vracer.near_cutoff(off, 3.7), 3.7)
+
+    def test_dim_norm_widens_log_ratio_clip(self):
+        assert vracer._log_ratio_clip(self._cfg()) == 20.0
+        big = vracer.VracerConfig(obs_dim=3, act_dim=256, cutoff_dim_norm=True)
+        clip = vracer._log_ratio_clip(big)
+        assert clip > np.sqrt(256) * np.log(4.0)  # above log(near_cutoff)
+        assert clip <= 60.0
