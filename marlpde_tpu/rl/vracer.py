@@ -146,17 +146,23 @@ class VracerConfig:
     # far below the action range (reference KS: iex=1e-3 on +-5,
     # run-vracer-ks.py:15,99-101; measured beta collapse in runs/ks_916.log).
     mu_param: str = "absolute"             # 'absolute' | 'sigma_relative'
-    # Dimension-normalized off-policy cutoff: korali's fixed cutoff c=4.0
+    # Dimension-TEMPERED importance weights: korali's fixed cutoff c=4.0
     # bounds the JOINT log importance weight, which by CLT grows as
     # sqrt(d_action) * per-dim drift — so the per-dimension drift budget
     # shrinks as 1/sqrt(d) and a d=128 single-agent policy
     # (run-vracer-diffusion-simple.py:5-9: N=128, numAgents=1 -> 128 actions
     # per sample) is frozen at ~0.07 sigma TOTAL drift over the replay
     # lifetime (measured: runs/diffusion_961.log flat for 330k updates).
-    # With True, the near-policy test and the replay off-policy fraction use
-    # |log rho| < sqrt(d) * log(c) — dimension-invariant drift budget,
-    # exactly korali at d=1.  The pg truncation min(rho, c) keeps the
-    # UN-normalized cutoff to bound importance-sampling variance.
+    # Worse, the raw joint rho itself is degenerate at high d (log rho ~
+    # N(-d*delta^2/2, d*delta^2): almost all weights ~0, a few clipped), so
+    # min(rho, c) silently shrinks the effective policy-gradient batch to the
+    # freshest experiences.  With True, EVERY use of the importance weight —
+    # near-policy test, pg truncation, retrace/V-trace clipping, replay
+    # off-policy fraction — uses the tempered weight
+    #     rho_tilde = rho ** (1/sqrt(d))
+    # against the korali cutoff: dimension-invariant drift budget and
+    # bounded, smoothly recency-weighted pg samples (tempered/flattened IS,
+    # the standard variance control).  Exactly korali at d=1.
     cutoff_dim_norm: bool = False
     # Episode-ring capacity of the flat experience replay (experience mode);
     # None -> max(replay_max_experiences // 4, 1024).  Episodes averaging
@@ -195,28 +201,27 @@ def make_net(cfg: VracerConfig) -> networks.VracerNet:
                               sigma_max=cfg.sigma_max, mu_param=cfg.mu_param)
 
 
-def _log_ratio_clip(cfg: VracerConfig) -> float:
-    """Numeric-safety clip for joint log importance ratios.  Must sit ABOVE
-    log(near_cutoff) or the near test saturates to always-true; 20 suffices
-    for korali's c<=4 (e^20~5e8), widened under cutoff_dim_norm."""
+def _joint_dims(cfg: VracerConfig) -> int:
+    """Action dimensions entering one joint log importance ratio: act_dim,
+    times num_agents under Multi Agent Correlation."""
+    return cfg.act_dim * (cfg.num_agents if (cfg.multi_agent_correlation
+                                             and cfg.num_agents > 1) else 1)
+
+
+def _rho_temper(cfg: VracerConfig) -> float:
+    """Exponent applied to the joint importance weight (log-ratio divided by
+    sqrt(d)) under cutoff_dim_norm — see the config field's rationale.  1.0
+    (korali-exact) otherwise, and always at d=1."""
     if not cfg.cutoff_dim_norm:
-        return 20.0
-    d = cfg.act_dim * (cfg.num_agents if (cfg.multi_agent_correlation
-                                          and cfg.num_agents > 1) else 1)
-    return float(min(60.0, max(20.0, np.sqrt(d) * np.log(cfg.cutoff_scale) + 5.0)))
+        return 1.0
+    return 1.0 / float(np.sqrt(_joint_dims(cfg)))
 
 
 def near_cutoff(cfg: VracerConfig, cutoff):
-    """Cutoff for the NEAR-policy test / off-policy fraction.  With
-    cutoff_dim_norm the log-cutoff scales with sqrt(d_action) (CLT scaling of
-    the joint log importance weight; see the config field's rationale);
-    d counts every dimension entering the joint log-ratio — act_dim, times
-    num_agents under Multi Agent Correlation."""
-    if not cfg.cutoff_dim_norm:
-        return cutoff
-    d = cfg.act_dim * (cfg.num_agents if (cfg.multi_agent_correlation
-                                          and cfg.num_agents > 1) else 1)
-    return cutoff ** float(np.sqrt(d))
+    """Cutoff for the NEAR-policy test on the (tempered) importance weight.
+    Tempering normalizes the weight itself, so the korali cutoff applies
+    unchanged; kept as a hook for diagnostics."""
+    return cutoff
 
 
 def make_optimizer(cfg: VracerConfig):
@@ -374,19 +379,18 @@ def _loss(cfg: VracerConfig, params, ts: TrainState, batch, cutoff):
                             cfg.action_low, cfg.action_high)
     logp_b = D.joint_log_prob(batch["actions"], batch["mu"], batch["sigma"],
                               cfg.action_low, cfg.action_high)
-    lr_clip = _log_ratio_clip(cfg)
-    log_ratio = jnp.clip(logp - logp_b, -lr_clip, lr_clip)
+    log_ratio = logp - logp_b
     if cfg.multi_agent_correlation and cfg.num_agents > 1:
         # korali "Multi Agent Correlation" (run-vracer-burger-marl.py:113):
         # the agents' simultaneous actions are one joint policy sample, so the
         # importance weight is the PRODUCT over agents, shared by every
         # agent's experience at that timestep (sum of per-agent log-ratios).
-        log_ratio = jnp.broadcast_to(
-            jnp.clip(log_ratio.sum(-1, keepdims=True), -lr_clip, lr_clip),
-            log_ratio.shape)
+        log_ratio = jnp.broadcast_to(log_ratio.sum(-1, keepdims=True),
+                                     log_ratio.shape)
+    # dimension temper (identity unless cutoff_dim_norm; see VracerConfig)
+    log_ratio = jnp.clip(log_ratio * _rho_temper(cfg), -20.0, 20.0)
     rho = jnp.exp(log_ratio)
-    nc = near_cutoff(cfg, cutoff)
-    near = (rho > 1.0 / nc) & (rho < nc)
+    near = (rho > 1.0 / cutoff) & (rho < cutoff)
 
     # Truncated-episode bootstrap (burger_environment.py:198-204): blowup ends
     # bootstrap the V-trace tail from V(s_T).  The pre-blowup final obs can be
@@ -460,12 +464,12 @@ def _joint_rho(cfg: VracerConfig, actions, mu, sigma, mu_b, sigma_b):
     logp = D.joint_log_prob(actions, mu, sigma, cfg.action_low, cfg.action_high)
     logp_b = D.joint_log_prob(actions, mu_b, sigma_b,
                               cfg.action_low, cfg.action_high)
-    lr_clip = _log_ratio_clip(cfg)
-    log_ratio = jnp.clip(logp - logp_b, -lr_clip, lr_clip)
+    log_ratio = logp - logp_b
     if cfg.multi_agent_correlation and cfg.num_agents > 1:
-        log_ratio = jnp.broadcast_to(
-            jnp.clip(log_ratio.sum(-1, keepdims=True), -lr_clip, lr_clip),
-            log_ratio.shape)
+        log_ratio = jnp.broadcast_to(log_ratio.sum(-1, keepdims=True),
+                                     log_ratio.shape)
+    # dimension temper (identity unless cutoff_dim_norm; see VracerConfig)
+    log_ratio = jnp.clip(log_ratio * _rho_temper(cfg), -20.0, 20.0)
     return jnp.exp(log_ratio), logp
 
 
@@ -524,8 +528,7 @@ def _loss_experience(cfg: VracerConfig, params, ts: TrainState, rows,
     rewards = _rescale_rewards(cfg, rows["rewards"], scale)
     rho, logp = _joint_rho(cfg, rows["actions"], mu, sigma,
                            rows["mu"], rows["sigma"])
-    nc = near_cutoff(cfg, cutoff)
-    near = (rho > 1.0 / nc) & (rho < nc)
+    near = (rho > 1.0 / cutoff) & (rho < cutoff)
 
     rho_bar = jax.lax.stop_gradient(jnp.minimum(rho, 1.0))
     Vsg = jax.lax.stop_gradient(V)
@@ -598,8 +601,7 @@ def update_experience(cfg: VracerConfig, ts: TrainState, frep, key,
         ts.params, _prep_obs(cfg, ts, rows["obs"]))
     rho_new, _ = _joint_rho(cfg, rows["actions"], mu_c, sigma_c,
                             rows["mu"], rows["sigma"])
-    nc_meta = near_cutoff(cfg, cutoff)
-    off_new = ~((rho_new > 1.0 / nc_meta) & (rho_new < nc_meta))
+    off_new = ~((rho_new > 1.0 / cutoff) & (rho_new < cutoff))
     boot_new = (_sanitized_final_V(cfg, ts.params, ts, rows["fin_obs"])
                 * rows["truncated"].astype(V_meta.dtype)[..., None])
     frep = replay_flat.refresh_metadata(frep, g, V_meta, rho_new, off_new,

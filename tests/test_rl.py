@@ -822,21 +822,25 @@ class TestScaleRobustKnobs:
         # sigma_floor (1e-5) shifts the exact ratio slightly
         np.testing.assert_allclose(mus[1e-3], 1e-3 * mus[1.0], rtol=2e-2)
 
-    def test_near_cutoff_dim_norm(self):
-        cfg = self._cfg(cutoff_dim_norm=True)          # d = 4
-        np.testing.assert_allclose(vracer.near_cutoff(cfg, 4.0), 4.0 ** 2.0)
+    def test_rho_temper_exponents(self):
+        np.testing.assert_allclose(vracer._rho_temper(self._cfg(cutoff_dim_norm=True)),
+                                   0.5)                 # d = 4
         cfg1 = vracer.VracerConfig(obs_dim=3, act_dim=1, cutoff_dim_norm=True)
-        np.testing.assert_allclose(vracer.near_cutoff(cfg1, 4.0), 4.0)  # korali at d=1
+        np.testing.assert_allclose(vracer._rho_temper(cfg1), 1.0)  # korali at d=1
         cfg_mac = vracer.VracerConfig(obs_dim=6, act_dim=4, num_agents=4,
                                       cutoff_dim_norm=True,
                                       multi_agent_correlation=True)  # d = 16
-        np.testing.assert_allclose(vracer.near_cutoff(cfg_mac, 4.0), 4.0 ** 4.0)
-        off = self._cfg()                               # default: korali cutoff
-        np.testing.assert_allclose(vracer.near_cutoff(off, 3.7), 3.7)
+        np.testing.assert_allclose(vracer._rho_temper(cfg_mac), 0.25)
+        np.testing.assert_allclose(vracer._rho_temper(self._cfg()), 1.0)  # off
 
-    def test_dim_norm_widens_log_ratio_clip(self):
-        assert vracer._log_ratio_clip(self._cfg()) == 20.0
-        big = vracer.VracerConfig(obs_dim=3, act_dim=256, cutoff_dim_norm=True)
-        clip = vracer._log_ratio_clip(big)
-        assert clip > np.sqrt(256) * np.log(4.0)  # above log(near_cutoff)
-        assert clip <= 60.0
+    def test_tempered_rho_is_root_of_joint(self):
+        # rho under cutoff_dim_norm equals (joint rho) ** (1/sqrt(d))
+        key = jax.random.PRNGKey(3)
+        a = jax.random.uniform(key, (7, 1, 4), minval=-2.0, maxval=2.0)
+        mu = jnp.zeros((7, 1, 4)); mu_b = 0.3 + mu
+        sg = jnp.full((7, 1, 4), 0.7); sg_b = jnp.full((7, 1, 4), 0.5)
+        raw, _ = vracer._joint_rho(self._cfg(), a, mu, sg, mu_b, sg_b)
+        tmp, _ = vracer._joint_rho(self._cfg(cutoff_dim_norm=True),
+                                   a, mu, sg, mu_b, sg_b)
+        np.testing.assert_allclose(np.asarray(tmp),
+                                   np.asarray(raw) ** 0.5, rtol=1e-5)
