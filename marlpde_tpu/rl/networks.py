@@ -15,20 +15,28 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Gradient leak of the sigma ceiling: above the cap the forward grows at this
-# slope instead of flat.  A hard min has exactly zero gradient above the cap,
-# so once a transient ratchet drives softplus-sigma past sigma_max neither the
-# trust-region KL nor the policy gradient can ever pull it back — sigma is
-# frozen at the ceiling for the rest of the run (ADVICE r3).  The leak keeps a
-# downward path (and damps further upward drift 20x) while staying an exact
-# identity below the cap.
+# Gradient leak of the sigma ceiling: above the cap the BACKWARD pass sees
+# this slope instead of zero.  A hard min has exactly zero gradient above the
+# cap, so once a transient ratchet drives softplus-sigma past sigma_max
+# neither the trust-region KL nor the policy gradient can ever pull it back —
+# sigma is frozen at the ceiling for the rest of the run (ADVICE r3).  A
+# VALUE leak (round-4 first attempt) is worse: the REFER sigma ratchet simply
+# climbs the 5% slope — measured on flagship 910, sigma 0.18 -> 7.7 over 260
+# generations, collection destroyed (_result_burger-marl_910/history.json).
+# The straight-through form keeps the FORWARD value exactly min(sigma, cap)
+# (collection can never see sigma above the cap) while the backward pass uses
+# the leaky slope, preserving the downward recovery path.
 SIGMA_CAP_LEAK = 0.05
 
 
 def leaky_sigma_cap(sigma, sigma_max, leak: float = SIGMA_CAP_LEAK):
-    """min(sigma, cap) below the cap; cap + leak*(sigma-cap) above it."""
+    """Straight-through sigma ceiling: value = min(sigma, cap); gradient =
+    identity below the cap, `leak` above it."""
     over = jnp.maximum(sigma - sigma_max, 0.0)
-    return jnp.minimum(sigma, sigma_max) + leak * over
+    hard = jnp.minimum(sigma, sigma_max)
+    leaky = hard + leak * over
+    # forward evaluates to `hard`; gradient flows through `leaky`
+    return leaky + jax.lax.stop_gradient(hard - leaky)
 
 
 class VracerNet(nn.Module):
