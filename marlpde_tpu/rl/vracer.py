@@ -139,6 +139,12 @@ class VracerConfig:
     # measured driver of the late-run peak decay.  'cumulative' drifts
     # monotonically slower as count grows.
     reward_scale_source: str = "replay"    # 'replay' | 'cumulative'
+    # Winsorization of the cumulative reward-scale accumulator: entries are
+    # clipped at this multiple of the current scale before entering rew_stats
+    # (robust second moment; see observe_episodes).  0 disables.  Motivated
+    # by flagship 911: one generation of -1e2..-1e3 spectral-error spikes
+    # (above the blowup floor) inflated the Welford scale 80x forever.
+    reward_stat_winsor: float = 10.0
     # Policy-mean parameterization (networks.VracerNet.mu_param):
     # 'sigma_relative' expresses the mean in units of the exploration stddev
     # (natural-gradient coordinates) so Adam's scale-free step moves the
@@ -308,10 +314,22 @@ def observe_episodes(cfg: VracerConfig, ts: TrainState, batch) -> TrainState:
         w = mask_sa
         if np.isfinite(cfg.reward_floor):
             w = w * (batch["rewards"] > cfg.reward_floor).astype(w.dtype)
-        new_rew = running_stats.update(
-            new_rew,
-            jnp.maximum(batch["rewards"], cfg.reward_floor).reshape(-1),
-            weights=w.reshape(-1))
+        r_stat = jnp.maximum(batch["rewards"], cfg.reward_floor)
+        if cfg.reward_stat_winsor > 0:
+            # Winsorize the accumulator: non-blowup reward SPIKES (spectral
+            # rel-err explosions in the -1e2..-1e3 range, above the -1e4
+            # floor) permanently poison the cumulative Welford scale — one
+            # bad generation inflated flagship 911's rew_scale 0.011 -> 0.87
+            # (80x), crushing every later scaled reward.  Entries are clipped
+            # at winsor * the CURRENT scale (robust second moment); skipped
+            # until the accumulator has seen enough mass for the current
+            # scale to mean anything.
+            cur = running_stats.second_moment(ts.rew_stats)
+            lim = cfg.reward_stat_winsor * cur
+            warm = ts.rew_stats.count > 1000.0
+            r_stat = jnp.where(warm, jnp.clip(r_stat, -lim, lim), r_stat)
+        new_rew = running_stats.update(new_rew, r_stat.reshape(-1),
+                                       weights=w.reshape(-1))
     return ts.replace(obs_stats=new_obs, rew_stats=new_rew)
 
 
