@@ -15,6 +15,7 @@ difference instead of replicating scipy bug-for-bug.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -49,6 +50,50 @@ def periodic_spline_eval(y, M, xq, L):
     Mj, Mjp = M[..., j], M[..., jp]
     omt = 1.0 - t
     # grid-unit spline; M carries 1/h^2 implicitly since d2 was unscaled
+    return (yj * omt + yjp * t
+            + ((omt**3 - omt) * Mj + (t**3 - t) * Mjp) / 6.0)
+
+
+def periodic_spline_eval_uniform(y, M, offset, L, Q):
+    """Fast path of :func:`periodic_spline_eval` for the standard query grid
+    x_i = i*L/Q + offset (uniform coarse grid shifted by a per-sample scalar).
+
+    Because the queries are uniformly strided, j_i = (j0 + (N/Q)*i) mod N with
+    a SINGLE fractional part t = frac(offset/h) shared by every query — so the
+    four per-query gathers of the general path collapse to one contiguous
+    dynamic-slice of the (periodically doubled) frame plus static strided
+    slices.  On TPU this is the difference between an XLA gather and a sliced
+    copy: the burger-fd bench's per-substep MSE reward ran 124x faster with
+    the gathers knocked out (runs/tpu_fd_profile.log: 94.1k -> 11.6M
+    substeps/s), and this path recovers that without changing semantics —
+    identical j/t algebra, tested bitwise-close against the general path.
+
+    y, M: (..., N) frame values/spline coefficients.  offset: scalar (or
+    batch-shaped (...,)) grid shift.  Returns (..., Q).
+    """
+    N = y.shape[-1]
+    assert N % Q == 0, (N, Q)
+    stride = N // Q
+    h = L / N
+    s0 = (jnp.asarray(offset) % L) / h              # in grid units, [0, N)
+    j0 = jnp.floor(s0).astype(jnp.int32) % N
+    t = (s0 - jnp.floor(s0))[..., None]
+    # doubled frame: indices j0 .. j0 + N cover every wraparound case
+    y2 = jnp.concatenate([y, y], axis=-1)
+    M2 = jnp.concatenate([M, M], axis=-1)
+
+    def slice_at(a2):
+        if a2.ndim == 1:
+            return jax.lax.dynamic_slice(a2, (j0,), (N + 1,))
+        # batch dims lead; slice only the last axis
+        idx = tuple(jnp.zeros((), jnp.int32) for _ in range(a2.ndim - 1)) + (j0,)
+        return jax.lax.dynamic_slice(a2, idx, a2.shape[:-1] + (N + 1,))
+
+    ys = slice_at(y2)
+    Ms = slice_at(M2)
+    yj, yjp = ys[..., 0:N:stride], ys[..., 1:N + 1:stride]
+    Mj, Mjp = Ms[..., 0:N:stride], Ms[..., 1:N + 1:stride]
+    omt = 1.0 - t
     return (yj * omt + yjp * t
             + ((omt**3 - omt) * Mj + (t**3 - t) * Mjp) / 6.0)
 

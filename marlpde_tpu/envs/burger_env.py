@@ -356,12 +356,14 @@ def _mse_rewards(cfg: BurgerEnvConfig, pool: DnsPool, sidx, solver_state):
 
     Indexes the single needed DNS frame pool.uu[sidx, fidx] in ONE gather —
     see the reset docstring for why whole-row gathers are forbidden."""
-    dtype = solver_state.u.dtype
-    newx = interp.shifted_query_points(
-        jnp.asarray(cfg.les_solver.grid.x, dtype), solver_state.offset, cfg.L)
     fidx = interp.frame_index(solver_state.t, cfg.dt, pool.uu.shape[1])
-    truth = interp.periodic_spline_eval(pool.uu[sidx, fidx],
-                                        pool.spline_m[sidx, fidx], newx, cfg.L)
+    # uniform-grid fast path: the queries are x_coarse + offset, so the
+    # spline eval is one contiguous dynamic-slice instead of 4 gathers —
+    # this op per SUBSTEP was 99% of the burger-fd bench's cost
+    # (runs/tpu_fd_profile.log: 94.1k -> 11.6M substeps/s without it)
+    truth = interp.periodic_spline_eval_uniform(
+        pool.uu[sidx, fidx], pool.spline_m[sidx, fidx],
+        solver_state.offset, cfg.L, cfg.grid_size)
     sq = (truth - solver_state.u) ** 2
     return -features.agent_block_mean(sq, cfg.num_agents)
 

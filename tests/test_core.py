@@ -217,3 +217,46 @@ class TestInterp:
     def test_frame_index(self):
         assert interp.frame_index(0.5, 0.001, 5001) == 500
         assert interp.frame_index(0.5000000001, 0.001, 5001) == 500
+
+
+class TestUniformSplineFastPath:
+    """periodic_spline_eval_uniform == periodic_spline_eval on the standard
+    shifted coarse grid (the burger-fd per-substep reward hot path; see
+    runs/tpu_fd_profile.log for the 124x rationale)."""
+
+    def test_matches_general_path(self):
+        rng = np.random.default_rng(7)
+        N, Q, L = 1024, 256, 2 * np.pi
+        y = jnp.asarray(rng.standard_normal(N), jnp.float64)
+        M = interp.periodic_spline_m(y)
+        xq0 = jnp.arange(Q) * (L / Q)
+        for off in [0.0, 0.1234, -0.77, 3.9, L - 1e-6, -L + 0.3, L / N * 2.5]:
+            newx = interp.shifted_query_points(xq0, jnp.asarray(off), L)
+            want = np.asarray(interp.periodic_spline_eval(y, M, newx, L))
+            got = np.asarray(interp.periodic_spline_eval_uniform(
+                y, M, jnp.asarray(off), L, Q))
+            np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9,
+                                       err_msg=f"off={off}")
+
+    def test_zero_offset_is_strided_subsample(self):
+        rng = np.random.default_rng(8)
+        y = jnp.asarray(rng.standard_normal(64), jnp.float64)
+        M = interp.periodic_spline_m(y)
+        got = np.asarray(interp.periodic_spline_eval_uniform(y, M, 0.0,
+                                                             2 * np.pi, 16))
+        np.testing.assert_allclose(got, np.asarray(y)[::4], atol=1e-12)
+
+    def test_under_vmap_per_env_offsets(self):
+        rng = np.random.default_rng(9)
+        N, Q, L, B = 128, 32, 2 * np.pi, 5
+        ys = jnp.asarray(rng.standard_normal((B, N)), jnp.float64)
+        Ms = interp.periodic_spline_m(ys)
+        offs = jnp.asarray(rng.uniform(-L, L, B))
+        fast = jax.vmap(lambda y, M, o: interp.periodic_spline_eval_uniform(
+            y, M, o, L, Q))(ys, Ms, offs)
+        xq0 = jnp.arange(Q) * (L / Q)
+        for b in range(B):
+            newx = interp.shifted_query_points(xq0, offs[b], L)
+            want = np.asarray(interp.periodic_spline_eval(ys[b], Ms[b], newx, L))
+            np.testing.assert_allclose(np.asarray(fast[b]), want,
+                                       rtol=1e-9, atol=1e-9)
