@@ -357,13 +357,20 @@ def _mse_rewards(cfg: BurgerEnvConfig, pool: DnsPool, sidx, solver_state):
     Indexes the single needed DNS frame pool.uu[sidx, fidx] in ONE gather —
     see the reset docstring for why whole-row gathers are forbidden."""
     fidx = interp.frame_index(solver_state.t, cfg.dt, pool.uu.shape[1])
-    # uniform-grid fast path: the queries are x_coarse + offset, so the
-    # spline eval is one contiguous dynamic-slice instead of 4 gathers —
-    # this op per SUBSTEP was 99% of the burger-fd bench's cost
-    # (runs/tpu_fd_profile.log: 94.1k -> 11.6M substeps/s without it)
+    return _mse_from_frame(cfg, pool.uu[sidx, fidx], pool.spline_m[sidx, fidx],
+                           solver_state)
+
+
+def _mse_from_frame(cfg: BurgerEnvConfig, frame_u, frame_m, solver_state):
+    """MSE reward against an already-materialized DNS frame.
+
+    Uniform-grid fast path: the queries are x_coarse + offset, so the spline
+    eval is one contiguous dynamic-slice instead of 4 gathers — this op per
+    SUBSTEP was 99% of the burger-fd bench's cost (runs/tpu_fd_profile.log:
+    94.1k -> 11.6M substeps/s without it).  step() additionally prefetches
+    the macro-step's n_intermediate CONSECUTIVE frames in one block slice."""
     truth = interp.periodic_spline_eval_uniform(
-        pool.uu[sidx, fidx], pool.spline_m[sidx, fidx],
-        solver_state.offset, cfg.L, cfg.grid_size)
+        frame_u, frame_m, solver_state.offset, cfg.L, cfg.grid_size)
     sq = (truth - solver_state.u) ** 2
     return -features.agent_block_mean(sq, cfg.num_agents)
 
@@ -380,19 +387,38 @@ def step(cfg: BurgerEnvConfig, pool: DnsPool, state: BurgerEnvState,
     B = jnp.asarray(action_basis(cfg), dtype)
     action_field = actions.reshape(-1) @ B          # Burger.py:437,442
 
-    def sub_step(carry, _):
+    def sub_step(carry, frames):
         sol, ek_sum, mse_acc, u_prev = carry
         new_sol, _aux = burger.step(lcfg, sol, action_field)
         ek_sum = ek_sum + spectral.energy_spectrum(new_sol.v, dx)
         if not cfg.spectral_reward:
-            mse_acc = mse_acc + _mse_rewards(cfg, pool, state.sidx,
-                                             new_sol) / cfg.n_intermediate
+            frame_u, frame_m = frames
+            mse_acc = mse_acc + _mse_from_frame(cfg, frame_u, frame_m,
+                                                new_sol) / cfg.n_intermediate
         return (new_sol, ek_sum, mse_acc, sol.u), None
+
+    if not cfg.spectral_reward:
+        # prefetch the macro-step's n_intermediate CONSECUTIVE DNS frames
+        # (substep k lands on frame round(t0/dt)+k) as ONE contiguous block
+        # slice per field — replaces 10 per-substep row gathers
+        nframes = pool.uu.shape[1]
+        fidx0 = interp.frame_index(state.solver.t + cfg.dt, cfg.dt, nframes)
+        fidx0 = jnp.minimum(fidx0, nframes - cfg.n_intermediate)
+
+        def block(a):
+            i32 = jnp.int32
+            return jax.lax.dynamic_slice(
+                a, (state.sidx.astype(i32), fidx0.astype(i32), jnp.zeros((), i32)),
+                (1, cfg.n_intermediate, a.shape[2]))[0]
+
+        xs = (block(pool.uu), block(pool.spline_m))
+    else:
+        xs = None
 
     init_carry = (state.solver, state.ek_sum,
                   jnp.zeros(cfg.num_agents, dtype), state.u_prev)
     (sol, ek_sum, mse_acc, u_prev), _ = jax.lax.scan(
-        sub_step, init_carry, None, length=cfg.n_intermediate)
+        sub_step, init_carry, xs, length=cfg.n_intermediate)
 
     if cfg.coupled:
         # baseline-relative reward (coupled_burger_environment.py:76-128):
