@@ -387,38 +387,24 @@ def step(cfg: BurgerEnvConfig, pool: DnsPool, state: BurgerEnvState,
     B = jnp.asarray(action_basis(cfg), dtype)
     action_field = actions.reshape(-1) @ B          # Burger.py:437,442
 
-    def sub_step(carry, frames):
+    def sub_step(carry, _):
         sol, ek_sum, mse_acc, u_prev = carry
         new_sol, _aux = burger.step(lcfg, sol, action_field)
         ek_sum = ek_sum + spectral.energy_spectrum(new_sol.v, dx)
         if not cfg.spectral_reward:
-            frame_u, frame_m = frames
-            mse_acc = mse_acc + _mse_from_frame(cfg, frame_u, frame_m,
-                                                new_sol) / cfg.n_intermediate
+            # NB: per-substep (sidx, fidx) ROW gathers measured FASTER than
+            # prefetching the macro-step's 10 consecutive frames as one
+            # (1, 10, 1024) dynamic-slice block (488.7k vs 231.3k substeps/s,
+            # runs/bench_fd_r4b.log vs bench_fd_r4c.log) — batched
+            # multi-dim dynamic_slice lowers worse than row gathers here.
+            mse_acc = mse_acc + _mse_rewards(cfg, pool, state.sidx,
+                                             new_sol) / cfg.n_intermediate
         return (new_sol, ek_sum, mse_acc, sol.u), None
-
-    if not cfg.spectral_reward:
-        # prefetch the macro-step's n_intermediate CONSECUTIVE DNS frames
-        # (substep k lands on frame round(t0/dt)+k) as ONE contiguous block
-        # slice per field — replaces 10 per-substep row gathers
-        nframes = pool.uu.shape[1]
-        fidx0 = interp.frame_index(state.solver.t + cfg.dt, cfg.dt, nframes)
-        fidx0 = jnp.minimum(fidx0, nframes - cfg.n_intermediate)
-
-        def block(a):
-            i32 = jnp.int32
-            return jax.lax.dynamic_slice(
-                a, (state.sidx.astype(i32), fidx0.astype(i32), jnp.zeros((), i32)),
-                (1, cfg.n_intermediate, a.shape[2]))[0]
-
-        xs = (block(pool.uu), block(pool.spline_m))
-    else:
-        xs = None
 
     init_carry = (state.solver, state.ek_sum,
                   jnp.zeros(cfg.num_agents, dtype), state.u_prev)
     (sol, ek_sum, mse_acc, u_prev), _ = jax.lax.scan(
-        sub_step, init_carry, xs, length=cfg.n_intermediate)
+        sub_step, init_carry, None, length=cfg.n_intermediate)
 
     if cfg.coupled:
         # baseline-relative reward (coupled_burger_environment.py:76-128):
