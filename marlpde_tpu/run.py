@@ -104,10 +104,13 @@ def build_parser():
                         "stddev (natural-gradient coordinates; required "
                         "when iex << action range — see "
                         "networks.VracerNet.mu_param)")
-    p.add_argument("--dimnorm", action="store_true", default=None,
-                   help="sqrt(d_action)-normalized off-policy cutoff "
-                        "(dimension-invariant REFER drift budget; exactly "
-                        "korali at d=1 — see VracerConfig.cutoff_dim_norm)")
+    p.add_argument("--dimnorm", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="dimension-tempered importance weights "
+                        "(rho^(1/sqrt(d)); exactly korali at d=1 — see "
+                        "VracerConfig.cutoff_dim_norm).  Defaults ON for "
+                        "ks/diffusion workloads (docs/REFER_SCALE.md); "
+                        "--no-dimnorm restores korali-exact")
     p.add_argument("--learner", type=str, default="vracer",
                    choices=["vracer", "apg"],
                    help="apg = analytic policy gradient through the "
@@ -341,10 +344,21 @@ def make_workload(args):
         extra["reward_scale_source"] = args.rscale
     if args.offtarget is not None:
         extra["offpolicy_target"] = args.offtarget
+    # Scale-robust learner defaults per workload (docs/REFER_SCALE.md): the
+    # korali-exact settings measurably CANNOT learn where iex << action range
+    # (ks: beta collapse 0.3 -> 2e-5, runs/ks_916.log) or where one agent
+    # owns >=32 action dims (diffusion-simple default: flat 330k updates).
+    # --muparam absolute / --no-dimnorm restore korali-exact semantics.
+    scale_robust = w in ("ks", "diffusion-simple", "diffusion-error",
+                         "diffusion-stencil3")
     if args.muparam is not None:
         extra["mu_param"] = args.muparam
+    elif scale_robust:
+        extra["mu_param"] = "sigma_relative"
     if args.dimnorm is not None:
         extra["cutoff_dim_norm"] = args.dimnorm
+    elif scale_robust:
+        extra["cutoff_dim_norm"] = True
     rl_cfg = trainer.default_rl_config(
         env, width=d["width"], gamma=gamma, lr=args.lr, init_noise=d["iex"],
         multi_agent_relationship=args.mar,
