@@ -296,6 +296,7 @@ def make_workload(args):
         env = registry.make_env(
             "ks", N_dns=args.NDNS if args.NDNS != 512 else 1024,
             grid_size=args.N or 32, num_actions=args.NA or 32,
+            num_agents=args.nagents or 1,
             dt=args.dt or 0.25,
             episode_length=args.episodelength, noise=args.noise,
             seed=args.seed, n_dns=args.ndns)
