@@ -68,8 +68,9 @@ def periodic_spline_eval_uniform(y, M, offset, L, Q):
     substeps/s), and this path recovers that without changing semantics —
     identical j/t algebra, tested bitwise-close against the general path.
 
-    y, M: (..., N) frame values/spline coefficients.  offset: scalar (or
-    batch-shaped (...,)) grid shift.  Returns (..., Q).
+    y, M: (..., N) frame values/spline coefficients.  offset: SCALAR grid
+    shift (batch via vmap — j0 feeds a dynamic_slice start index, which must
+    be rank-0).  Returns (..., Q).
     """
     N = y.shape[-1]
     assert N % Q == 0, (N, Q)

@@ -124,6 +124,14 @@ class DnsPool(struct.PyTreeNode):
     nu: jax.Array        # (P,)
     randfac1: jax.Array  # (P, 4, s)
     randfac2: jax.Array  # (P, 4, s)
+    # DNS truth pre-restricted to the LES grid (P, T+1, g) — the reference's
+    # setGroundTruth pattern (Burger.py:322-327: interpolate the truth once,
+    # query per step).  Built for MSE-reward configs with N_dns % g == 0, where
+    # the LES gridpoints coincide with every (N_dns/g)-th DNS point and the
+    # cubic spline is exact at its knots; the per-substep reward then gathers
+    # g floats instead of spline-evaluating against two (T+1, N_dns) arrays
+    # (ROOFLINE fd attribution: those row gathers were the residual cost).
+    truth_les: jax.Array | None = None
 
     @property
     def v0(self):
@@ -144,6 +152,13 @@ class BurgerEnvState(struct.PyTreeNode):
 @lru_cache(maxsize=32)
 def action_basis(cfg: BurgerEnvConfig) -> np.ndarray:
     return basis_mod.make_basis(cfg.num_actions, cfg.grid_size, cfg.L, cfg.basis_kind)
+
+
+def _wants_truth_les(cfg: BurgerEnvConfig) -> bool:
+    """Pool carries the pre-restricted truth channel (see DnsPool.truth_les)
+    when the MSE reward needs per-substep truth and the grids nest exactly."""
+    return (not cfg.spectral_reward and not cfg.coupled
+            and cfg.N_dns % cfg.grid_size == 0)
 
 
 def _dns_ic(cfg: BurgerEnvConfig, seed, key, dtype):
@@ -190,9 +205,12 @@ def make_dns_pool(cfg: BurgerEnvConfig, n_dns: int, key=None,
         ek_kt = spectral.energy_spectrum(vv, dx)
         ek_ktt = spectral.cumulative_mean(ek_kt, axis=0)[:, : cfg.grid_size // 2]
         m = interp.periodic_spline_m(uu)
-        return dict(uu=uu, spline_m=m, v0_re=jnp.real(vv[0]),
-                    v0_im=jnp.imag(vv[0]), ek_ktt=ek_ktt, nu=nu,
-                    randfac1=rf1, randfac2=rf2)
+        row = dict(uu=uu, spline_m=m, v0_re=jnp.real(vv[0]),
+                   v0_im=jnp.imag(vv[0]), ek_ktt=ek_ktt, nu=nu,
+                   randfac1=rf1, randfac2=rf2)
+        if _wants_truth_les(cfg):
+            row["truth_les"] = uu[:, :: cfg.N_dns // cfg.grid_size]
+        return row
 
     keys = jax.random.split(key, n_dns)
     rows = [build(i, keys[i]) for i in range(n_dns)]
@@ -269,8 +287,11 @@ def _make_dns_pool_host(cfg: BurgerEnvConfig, n_dns: int, key, dtype) -> DnsPool
         d2 = np.roll(uu, 1, -1) - 2.0 * uu + np.roll(uu, -1, -1)
         eig = 4.0 + 2.0 * np.cos(2.0 * np.pi * np.arange(N) / N)
         m = np.real(np.fft.ifft(np.fft.fft(6.0 * d2, axis=-1) / eig, axis=-1))
-        rows.append(dict(uu=uu, spline_m=m, v0_re=vv[0].real, v0_im=vv[0].imag,
-                         ek_ktt=ek_ktt, nu=nu, randfac1=rf1, randfac2=rf2))
+        row = dict(uu=uu, spline_m=m, v0_re=vv[0].real, v0_im=vv[0].imag,
+                   ek_ktt=ek_ktt, nu=nu, randfac1=rf1, randfac2=rf2)
+        if _wants_truth_les(cfg):
+            row["truth_les"] = uu[:, :: N // cfg.grid_size]
+        rows.append(row)
     # convert dtypes in numpy BEFORE the device transfer: an on-device
     # convert_element_type of freshly-transferred f64 data is both wasteful
     # and unsupported on the axon backend
@@ -354,9 +375,16 @@ def _observe(cfg: BurgerEnvConfig, state: BurgerEnvState):
 def _mse_rewards(cfg: BurgerEnvConfig, pool: DnsPool, sidx, solver_state):
     """Per-agent -(truth(x+offset, t) - u)^2 means (Burger.py:578-601).
 
-    Indexes the single needed DNS frame pool.uu[sidx, fidx] in ONE gather —
-    see the reset docstring for why whole-row gathers are forbidden."""
+    Offset-free configs read the pre-restricted truth channel — one (g,)
+    gather per substep (DnsPool.truth_les, the setGroundTruth layout).  With
+    a per-episode offset the queries fall between DNS knots, so the frame is
+    gathered and spline-evaluated; see the reset docstring for why whole-ROW
+    (T+1, N_dns) gathers are forbidden either way."""
     fidx = interp.frame_index(solver_state.t, cfg.dt, pool.uu.shape[1])
+    if cfg.noise == 0.0 and pool.truth_les is not None:
+        truth = pool.truth_les[sidx, fidx]
+        sq = (truth - solver_state.u) ** 2
+        return -features.agent_block_mean(sq, cfg.num_agents)
     return _mse_from_frame(cfg, pool.uu[sidx, fidx], pool.spline_m[sidx, fidx],
                            solver_state)
 
@@ -367,8 +395,7 @@ def _mse_from_frame(cfg: BurgerEnvConfig, frame_u, frame_m, solver_state):
     Uniform-grid fast path: the queries are x_coarse + offset, so the spline
     eval is one contiguous dynamic-slice instead of 4 gathers — this op per
     SUBSTEP was 99% of the burger-fd bench's cost (runs/tpu_fd_profile.log:
-    94.1k -> 11.6M substeps/s without it).  step() additionally prefetches
-    the macro-step's n_intermediate CONSECUTIVE frames in one block slice."""
+    94.1k -> 11.6M substeps/s without it)."""
     truth = interp.periodic_spline_eval_uniform(
         frame_u, frame_m, solver_state.offset, cfg.L, cfg.grid_size)
     sq = (truth - solver_state.u) ** 2

@@ -265,7 +265,7 @@ def run_generations(env: Env, rl_cfg, mesh: Mesh, envs_per_device: int,
         ckpt.save_train_state(checkpoint_dir, jax.device_get(ts), history)
         exp_now = history["experiences"][-1] if history["experiences"] else 0
         ckpt.save_meta(checkpoint_dir, key, gen_now, exp_now,
-                       gen_now * n_dev * envs_per_device)
+                       gen_now * n_dev * envs_per_device, rl_cfg=rl_cfg)
 
     t0 = _time.time()
     for g in range(n_generations):

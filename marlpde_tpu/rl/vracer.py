@@ -223,13 +223,6 @@ def _rho_temper(cfg: VracerConfig) -> float:
     return 1.0 / float(np.sqrt(_joint_dims(cfg)))
 
 
-def near_cutoff(cfg: VracerConfig, cutoff):
-    """Cutoff for the NEAR-policy test on the (tempered) importance weight.
-    Tempering normalizes the weight itself, so the korali cutoff applies
-    unchanged; kept as a hook for diagnostics."""
-    return cutoff
-
-
 def make_optimizer(cfg: VracerConfig):
     return optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
                        optax.adam(cfg.lr))
@@ -325,9 +318,19 @@ def observe_episodes(cfg: VracerConfig, ts: TrainState, batch) -> TrainState:
             # until the accumulator has seen enough mass for the current
             # scale to mean anything.
             cur = running_stats.second_moment(ts.rew_stats)
-            lim = cfg.reward_stat_winsor * cur
             warm = ts.rew_stats.count > 1000.0
-            r_stat = jnp.where(warm, jnp.clip(r_stat, -lim, lim), r_stat)
+            # Warm-up guard (ADVICE r4): before the accumulator is warm the
+            # cumulative scale is meaningless, but a spike generation DURING
+            # warm-up can still permanently inflate it (the flagship-911
+            # failure mode this channel targets).  Until warm, clip against
+            # the batch's own robust scale — winsor * the 90th percentile of
+            # the valid |rewards| in this very batch — so only the extreme
+            # tail is touched regardless of the (unknown) reward units.
+            absr = jnp.where(w > 0, jnp.abs(r_stat), jnp.nan)
+            q = jnp.nanquantile(absr.reshape(-1), 0.9)
+            q = jnp.where(jnp.isnan(q), 0.0, jnp.maximum(q, 1e-30))
+            lim = cfg.reward_stat_winsor * jnp.where(warm, cur, q)
+            r_stat = jnp.clip(r_stat, -lim, lim)
         new_rew = running_stats.update(new_rew, r_stat.reshape(-1),
                                        weights=w.reshape(-1))
     return ts.replace(obs_stats=new_obs, rew_stats=new_rew)

@@ -460,6 +460,7 @@ def main(argv=None):
         n_gens = max(1, int(tc.max_experiences // (args.numenvs * T)))
         init_ts = init_history = init_key = None
         if args.resume:
+            ckpt.check_fingerprint(result_dir, rl_cfg, "--resume")
             init_ts = ckpt.load_train_state(result_dir, rl_cfg)
             init_history = ckpt.load_history(result_dir)
             meta = ckpt.load_meta(result_dir)
@@ -498,6 +499,9 @@ def main(argv=None):
         import jax
         load_dir = (os.path.join(result_dir, "best") if args.best
                     else result_dir)
+        # the fingerprint lives in the run dir's meta.npz (best/ holds only
+        # params); a best-checkpoint test still verifies against the run dir
+        ckpt.check_fingerprint(result_dir, rl_cfg, "--test")
         ts = ckpt.load_train_state(load_dir, rl_cfg)
         if ts is None:
             raise SystemExit(f"--test: no checkpoint in {load_dir}")
@@ -580,6 +584,7 @@ def main(argv=None):
 
     init_ts = init_history = init_replay = init_key = init_counters = None
     if args.resume:
+        ckpt.check_fingerprint(result_dir, rl_cfg, "--resume")
         init_ts = ckpt.load_train_state(result_dir, rl_cfg)
         init_history = ckpt.load_history(result_dir)
         init_replay = ckpt.load_replay(result_dir,

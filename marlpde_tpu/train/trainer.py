@@ -409,7 +409,7 @@ def train(env: Env, rl_cfg: Optional[vracer.VracerConfig] = None,
             from marlpde_tpu.utils import checkpoint as ckpt
             ckpt.save_train_state(tc.checkpoint_dir, ts, history)
             ckpt.save_meta(tc.checkpoint_dir, key, gen, total_exp, episode_base,
-                           real_in_replay=real_in_replay)
+                           real_in_replay=real_in_replay, rl_cfg=rl_cfg)
             if tc.serialize_replay:
                 ckpt.save_replay(tc.checkpoint_dir, rep)
         if verbose and gen % tc.log_every == 0:
@@ -423,7 +423,7 @@ def train(env: Env, rl_cfg: Optional[vracer.VracerConfig] = None,
         from marlpde_tpu.utils import checkpoint as ckpt
         ckpt.save_train_state(tc.checkpoint_dir, ts, history)
         ckpt.save_meta(tc.checkpoint_dir, key, gen, total_exp, episode_base,
-                       real_in_replay=real_in_replay)
+                       real_in_replay=real_in_replay, rl_cfg=rl_cfg)
         if tc.serialize_replay:
             ckpt.save_replay(tc.checkpoint_dir, rep)
     return ts, rep, history

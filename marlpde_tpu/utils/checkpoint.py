@@ -94,7 +94,7 @@ def load_history(path: str) -> Optional[dict]:
 
 
 def save_meta(path: str, key, gen: int, total_exp: float, episode_base: int,
-              real_in_replay: Optional[int] = None):
+              real_in_replay: Optional[int] = None, rl_cfg=None):
     """Trainer RNG key + counters — what korali folds into its state file so a
     resumed run continues the exact same stream (run-vracer-burger.py:59-62).
 
@@ -102,11 +102,21 @@ def save_meta(path: str, key, gen: int, total_exp: float, episode_base: int,
     _experienceCount) — without it, a resumed --realexp experience-mode run
     restarts the korali update ledger from 0 and takes no gradient updates
     until it re-collects replay_start + past-updates*expperu NEW experiences
-    (ADVICE r3, high)."""
+    (ADVICE r3, high).
+
+    ``rl_cfg`` adds a config fingerprint (mu_param, cutoff_dim_norm): the
+    param tree is deliberately shape-identical across mu_param modes, so
+    without the fingerprint a --resume could silently load an absolute-mode
+    mean head into a sigma_relative net — scaling the restored policy mean by
+    stop_grad(sigma) with no error (ADVICE r4, medium).  check_fingerprint
+    enforces it at restore time."""
     os.makedirs(path, exist_ok=True)
     extra = {}
     if real_in_replay is not None:
         extra["real_in_replay"] = np.int64(real_in_replay)
+    if rl_cfg is not None:
+        extra["mu_param"] = np.str_(rl_cfg.mu_param)
+        extra["cutoff_dim_norm"] = np.bool_(rl_cfg.cutoff_dim_norm)
     np.savez(os.path.join(path, "meta.npz"),
              key=np.asarray(jax.random.key_data(key)),
              gen=np.int64(gen), total_exp=np.float64(total_exp),
@@ -123,7 +133,30 @@ def load_meta(path: str) -> Optional[dict]:
                 episode_base=int(d["episode_base"]))
     if "real_in_replay" in d:
         meta["real_in_replay"] = int(d["real_in_replay"])
+    if "mu_param" in d:
+        meta["mu_param"] = str(d["mu_param"])
+        meta["cutoff_dim_norm"] = bool(d["cutoff_dim_norm"])
     return meta
+
+
+def check_fingerprint(path: str, rl_cfg, what: str = "resume"):
+    """Refuse to marry a checkpoint to a mismatched learner config (see
+    save_meta docstring).  Pre-fingerprint checkpoints only get a warning —
+    erroring would strand every round-3 artifact."""
+    meta = load_meta(path)
+    if meta is None or "mu_param" not in meta:
+        print(f"[checkpoint] WARNING: {path} has no config fingerprint; "
+              f"cannot verify mu_param/cutoff_dim_norm match for {what} "
+              f"(pre-round-5 checkpoint?)")
+        return
+    for field in ("mu_param", "cutoff_dim_norm"):
+        saved, now = meta[field], getattr(rl_cfg, field)
+        if saved != now:
+            raise SystemExit(
+                f"[checkpoint] {what}: saved {field}={saved!r} but the "
+                f"current config has {field}={now!r}.  Loading across modes "
+                f"silently rescales the policy mean; pass --muparam/--dimnorm "
+                f"matching the original run (see docs/REFER_SCALE.md).")
 
 
 def _replay_fields(rep):

@@ -97,6 +97,26 @@ class TestBurgerEnvMse:
         assert np.isfinite(rewards).all()
         assert (rewards <= 0).all() and rewards.min() < 0
 
+    def test_truth_les_channel_matches_spline_path(self):
+        # the pre-restricted truth channel (DnsPool.truth_les, the
+        # setGroundTruth layout) must reproduce the spline-eval rewards: the
+        # cubic spline is exact at its knots, and with noise=0 every query is
+        # a knot, so the two paths agree to roundoff.
+        cfg = burger_env.BurgerEnvConfig(
+            N_dns=128, grid_size=32, num_actions=32, dt=0.01, T=0.5, nu=0.05,
+            episode_length=10, ic_case="turbulence", spectral_reward=False,
+            noise=0.0, scheme="fd")
+        pool = burger_env.make_dns_pool(cfg, 1, dtype=jnp.float64)
+        assert pool.truth_les is not None
+        assert pool.truth_les.shape == pool.uu.shape[:2] + (32,)
+        env_fast = registry.make_env("burger-fd", cfg=cfg, pool=pool)
+        pool_slow = pool.replace(truth_les=None)
+        env_slow = registry.make_env("burger-fd", cfg=cfg, pool=pool_slow)
+        tf, _ = rollout.zero_action_episode(env_fast, jax.random.key(0))
+        ts, _ = rollout.zero_action_episode(env_slow, jax.random.key(0))
+        np.testing.assert_allclose(np.asarray(tf["rewards"]),
+                                   np.asarray(ts["rewards"]), atol=1e-12)
+
     def test_marl_rewards_are_per_agent_block_means(self):
         na = 4
         cfg = burger_env.BurgerEnvConfig(
