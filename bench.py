@@ -156,7 +156,7 @@ def main():
             ts, rep, k_c, k_u, jnp.asarray(0), pool)
         _ = float(stats["mean_return"])   # D2H readback barrier
         log(f"generation compiled+warm in {time.perf_counter()-t0:.0f}s; timing")
-        times, rets = [], []
+        times, rets, diags = [], [], []
         for i in range(gens):
             t0 = time.perf_counter()
             key, k_c, k_u = jax.random.split(key, 3)
@@ -164,11 +164,19 @@ def main():
                 ts, rep, k_c, k_u, jnp.asarray((i + 1) * Bt), pool)
             rets.append(float(stats["mean_return"]))
             times.append(time.perf_counter() - t0)
+            # blowup/containment diagnostics per generation (VERDICT r4 weak
+            # #7): a -inf return is interpretable from the artifact — how many
+            # episodes truncated on numeric blowup, whether every env survived
+            # to T, and whether the winsorized reward scale stayed put
+            diags.append(dict(
+                blowups=int(stats["blowups"]),
+                ep_len=round(float(stats["ep_len"]), 1),
+                rew_scale=round(float(stats["rew_scale"]), 6)))
         times.sort()
         dt_ = times[len(times) // 2]
         log(f"per-gen times: {['%.2fs' % t for t in times]} "
             f"returns={['%.3f' % r for r in rets]} "
-            f"n_upd={int(stats['n_upd'])}")
+            f"n_upd={int(stats['n_upd'])} diag={diags}")
         env_steps = Bt * env.episode_length * n_intermediate
         print(json.dumps({
             "metric": "train_env_steps_per_s_per_chip",

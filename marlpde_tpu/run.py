@@ -431,6 +431,16 @@ def main(argv=None):
     if args.bf16:
         import jax
         jax.config.update("jax_default_matmul_precision", "bfloat16")
+    # heartbeat for tunnel-backed runs: silent-compile wedges (run 921,
+    # 24 min with zero output) become diagnosable from the log — TPU_NOTES
+    # rule 9 gives the wait/kill decision procedure.  Started BEFORE any jax
+    # call: even jax.default_backend() can block minutes on a lingering
+    # tunnel claim (rule 4).  CPU runs (JAX_PLATFORMS=cpu, the test path)
+    # skip it.
+    if os.environ.get("JAX_PLATFORMS", "") != "cpu":
+        from marlpde_tpu.utils import heartbeat
+        heartbeat.start()
+        heartbeat.phase("backend-init")
     if args.workload == "cmaes-burger":
         return run_cmaes(args)
     from marlpde_tpu.train import trainer

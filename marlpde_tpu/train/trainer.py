@@ -23,7 +23,7 @@ import numpy as np
 
 from marlpde_tpu.envs.rollout import Env, collect_episodes
 from marlpde_tpu.rl import replay as replay_mod
-from marlpde_tpu.rl import vracer
+from marlpde_tpu.rl import running_stats, vracer
 
 # updates per jitted scan in trainer.train's unfused update loop (chunking is
 # RNG-transparent; see make_update_scan).  Sized so korali economics
@@ -163,7 +163,11 @@ def build_fused_generation(env: Env, rl_cfg: vracer.VracerConfig,
         stats = dict(
             mean_return=final_.cum_reward.reshape(tc.num_envs, -1).mean(),
             ep_len=traj_["mask"].sum(1).mean(),
-            n_upd=jnp.where(did, upd_per_gen, 0))
+            n_upd=jnp.where(did, upd_per_gen, 0),
+            # blowup/containment diagnostics (VERDICT r4 weak #7): a -inf
+            # generation return must be interpretable from the bench artifact
+            blowups=traj_["truncated"].sum(),
+            rew_scale=running_stats.second_moment(ts_.rew_stats))
         return ts_, rep_, traj_, final_, metrics_, stats
 
     return fused_generation
@@ -285,8 +289,15 @@ def train(env: Env, rl_cfg: Optional[vracer.VracerConfig] = None,
     else:
         real_in_replay = 0
 
+    from marlpde_tpu.utils import heartbeat
+    first_dispatch = True
     while total_exp < tc.max_experiences:
         key, k_c, k_u = jax.random.split(key, 3)
+        if first_dispatch:
+            # the cold generation program can compile for minutes through the
+            # axon tunnel; the heartbeat phase makes a wedge diagnosable from
+            # the log (TPU_NOTES rule 9)
+            heartbeat.phase("compile:generation")
         if tc.fused and not real_mode:
             ts, rep, traj, final, metrics, stats = fused_generation(
                 ts, rep, k_c, k_u, jnp.asarray(episode_base), env.consts)
@@ -412,6 +423,9 @@ def train(env: Env, rl_cfg: Optional[vracer.VracerConfig] = None,
                            real_in_replay=real_in_replay, rl_cfg=rl_cfg)
             if tc.serialize_replay:
                 ckpt.save_replay(tc.checkpoint_dir, rep)
+        if first_dispatch:
+            heartbeat.phase("run")
+            first_dispatch = False
         if verbose and gen % tc.log_every == 0:
             print(f"[trainer] gen {gen} exp {total_exp} return {mean_ret:.5f} "
                   f"eplen {ep_len:.1f} updates {n_upd} "

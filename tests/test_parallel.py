@@ -109,9 +109,10 @@ class TestMultiProcessDryrun:
     def test_two_process_jax_distributed(self, tmp_path):
         """The multi-HOST path for real: 2 jax.distributed processes x 4
         virtual devices = one 8-device global mesh, >=3 generations with a
-        warm replay, params bitwise-replicated across processes, and an orbax
-        checkpoint saved by process 0 and restored on both
-        (scripts/dist_dryrun.py; VERDICT r2 item 4)."""
+        warm replay IN BOTH MINIBATCH MODES (experience = the run.py
+        production default, episode), params bitwise-replicated across
+        processes, and an orbax checkpoint saved by process 0 and restored on
+        both (scripts/dist_dryrun.py; VERDICT r2 item 4, r4 missing #4)."""
         import json
         import subprocess
         import sys
@@ -125,3 +126,6 @@ class TestMultiProcessDryrun:
         assert out.returncode == 0, out.stdout + out.stderr
         verdict = json.loads(out.stdout.strip().splitlines()[-1])
         assert verdict["ok"] and verdict["global_devices"] == 8
+        # both modes ran on both workers
+        assert out.stderr.count("experience-mode OK") == 2, out.stderr
+        assert out.stderr.count("episode-mode OK") == 2, out.stderr
