@@ -163,6 +163,10 @@ def build_parser():
                         "steps / 0.5 expperu = 10000) so the ledger, not the "
                         "cap, governs")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--diag", action="store_true",
+                   help="per-generation decay-phase diagnostics into "
+                        "history['diag'] (V(s0) vs return in scaled "
+                        "units, policy drift, replay occupancy)")
     p.add_argument("--serialize-replay", action="store_true",
                    help="save the replay buffer with checkpoints "
                         "(korali Experience Replay Serialize)")
@@ -379,7 +383,8 @@ def make_workload(args):
                                seed=args.seed, fused=args.fused,
                                testing_frequency=args.testfreq,
                                testing_episodes=args.testepisodes,
-                               count_real_experiences=realexp)
+                               count_real_experiences=realexp,
+                               decay_diagnostics=args.diag)
     if args.save_episodes:
         tc = dataclasses.replace(
             tc, save_episodes_dir=f"_result_{args.workload}_{args.run}/episodes")

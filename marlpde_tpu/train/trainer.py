@@ -60,6 +60,13 @@ class TrainerConfig:
     # high-latency backends (the axon TPU tunnel); the RNG stream is identical
     # to the unfused path (tests/test_rl.py::TestFusedGeneration).
     fused: bool = False
+    # Decay-phase diagnostics (VERDICT r4 next #2): per-generation probe of
+    # the policy on a FIXED batch of initial states — value estimate V(s0)
+    # in scaled units, policy-mean drift ||mu_g - mu_{g-1}||_rms and
+    # ||mu_g - mu_0||_rms, probe sigma, reward scale, and replay occupancy —
+    # appended to history["diag"].  Off by default (one extra tiny dispatch
+    # per generation).
+    decay_diagnostics: bool = False
     # korali-faithful experience accounting: count only LIVE env-steps
     # (mask==1) toward Max Experiences, the replay-start gate, and the
     # update economics (updates/gen = real new experiences / `Experiences
@@ -289,6 +296,21 @@ def train(env: Env, rl_cfg: Optional[vracer.VracerConfig] = None,
     else:
         real_in_replay = 0
 
+    prev_probe_mu = init_probe_mu = None
+    if tc.decay_diagnostics:
+        history.setdefault("diag", [])
+        n_probe = 32
+        probe_keys = jax.random.split(jax.random.key(tc.seed + 777), n_probe)
+        _, probe_obs = jax.jit(lambda c, ks, cs: jax.vmap(
+            lambda k_, c_: env.reset(c, k_, c_))(ks, cs))(
+            env.consts, probe_keys, jnp.arange(n_probe))
+
+        @jax.jit
+        def probe_fn(ts_):
+            V, mu, sigma = vracer.policy_apply(rl_cfg, ts_, probe_obs)
+            return (V.mean(), mu, sigma.mean(),
+                    running_stats.second_moment(ts_.rew_stats))
+
     from marlpde_tpu.utils import heartbeat
     first_dispatch = True
     while total_exp < tc.max_experiences:
@@ -374,6 +396,30 @@ def train(env: Env, rl_cfg: Optional[vracer.VracerConfig] = None,
         history["wall_time"].append(time.time() - t0)
         throughput.tick(gen_exp)
         history["env_steps_per_s"].append(throughput.rate())
+
+        if tc.decay_diagnostics:
+            v0, mu_p, sig_p, rscale = probe_fn(ts)
+            mu_p = np.asarray(mu_p)
+            if init_probe_mu is None:
+                init_probe_mu = mu_p
+            rms = lambda a: float(np.sqrt(np.mean(a * a)))
+            if rl_cfg.minibatch_mode == "experience":
+                occ = int(min(int(np.asarray(rep.cursor)),
+                              rl_cfg.replay_max_experiences))
+            else:
+                occ = int(np.asarray(rep.filled))
+            history["diag"].append(dict(
+                # V(s0) and the realized return, both in SCALED units —
+                # their gap is the value bias the decay investigation needs
+                v0_scaled=float(v0),
+                return_scaled=float(mean_ret / max(float(rscale), 1e-30)),
+                rew_scale=float(rscale),
+                mu_drift_rms=(rms(mu_p - prev_probe_mu)
+                              if prev_probe_mu is not None else 0.0),
+                mu_from_init_rms=rms(mu_p - init_probe_mu),
+                mu_rms=rms(mu_p), sigma_probe=float(sig_p),
+                replay_occupancy=occ))
+            prev_probe_mu = mu_p
 
         if tc.save_episodes_dir:
             # cum_reward is (B,) for single-return envs, (B, na) for MARL
