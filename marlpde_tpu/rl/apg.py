@@ -91,14 +91,26 @@ def train_apg(env, rl_cfg: vracer.VracerConfig, cfg: ApgConfig = ApgConfig(),
         return optax.apply_updates(params, updates), opt_state, -ret
 
     params = ts.params
-    history = {"iter": [], "mean_return": []}
+    history = {"iter": [], "mean_return": [], "best_return": []}
+    # incumbent-best tracking (CMAES semantics): the objective is the
+    # DETERMINISTIC squashed-mean return, so the best-seen iterate is a
+    # well-defined optimizer output — BPTT through chaotic rollouts makes
+    # the raw iterate sequence noisy (gradient direction decorrelates over
+    # long horizons), and returning the incumbent is the standard fix
+    best = (-jnp.inf, params)
     for it in range(cfg.iterations):
         key, k = jax.random.split(key)
-        params, opt_state, ret = step(params, opt_state, env.consts, k,
-                                      jnp.asarray(it * cfg.batch_size))
+        new_params, opt_state, ret = step(params, opt_state, env.consts, k,
+                                          jnp.asarray(it * cfg.batch_size))
+        # ret is the return OF `params` (evaluated before the update)
+        if float(ret) > best[0]:
+            best = (float(ret), params)
+        params = new_params
         history["iter"].append(it)
         history["mean_return"].append(float(ret))
+        history["best_return"].append(best[0])
         if verbose and (it % max(1, cfg.iterations // 10) == 0
                         or it == cfg.iterations - 1):
-            print(f"[apg] iter {it} return {float(ret):.6f}")
-    return ts.replace(params=params), history
+            print(f"[apg] iter {it} return {float(ret):.6f} "
+                  f"best {best[0]:.6f}")
+    return ts.replace(params=best[1]), history
