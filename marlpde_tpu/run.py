@@ -569,15 +569,30 @@ def main(argv=None):
                     f"_nu{nus[0]:g}" if nus[0] is not None else "")))
         elif args.workload == "ks":
             # KS testing branch (ks_environment.py:122-183): controlled-LES
-            # npz dump, DNS SGS terms, uncontrolled baseline, makePlot
+            # npz dump, DNS SGS terms, uncontrolled baseline, makePlot.
+            # With a multi-row DNS pool the comparison AVERAGES over pool
+            # rows (--ids to select): the single-episode spectral score is
+            # chaos-dominated (an O(1e-11) action perturbation decorrelates
+            # the trajectory and moves the score ~+-0.01 — measured round 5,
+            # scripts/ks_gain_mean.py), so only the pool mean is a
+            # statistically meaningful controlled-vs-uncontrolled verdict.
             from marlpde_tpu.analysis import evaluation
-            cmp_ = evaluation.ks_testing(
-                env.cfg, env.consts, rl_cfg, ts, out_dir=result_dir,
-                run_tag=args.run, key=jax.random.key(args.seed))
-            summary["baseline_cumreward"] = float(
-                np.mean(cmp_["baseline_cumreward"]))
-            summary["controlled_cumreward"] = float(
-                np.mean(cmp_["controlled_cumreward"]))
+            n_pool = int(np.asarray(env.consts.nu.shape[0]))
+            ids = ([int(x) for x in args.ids.split(",")] if args.ids
+                   else list(range(min(n_pool, 8))))
+            base_l, ctrl_l = [], []
+            for sidx in ids:
+                cmp_ = evaluation.ks_testing(
+                    env.cfg, env.consts, rl_cfg, ts, out_dir=result_dir,
+                    run_tag=f"{args.run}_s{sidx}" if len(ids) > 1 else args.run,
+                    key=jax.random.key(args.seed), sidx=sidx)
+                base_l.append(float(np.mean(cmp_["baseline_cumreward"])))
+                ctrl_l.append(float(np.mean(cmp_["controlled_cumreward"])))
+            summary["sample_ids"] = ids
+            summary["baseline_per_id"] = base_l
+            summary["controlled_per_id"] = ctrl_l
+            summary["baseline_cumreward"] = float(np.mean(base_l))
+            summary["controlled_cumreward"] = float(np.mean(ctrl_l))
         elif args.workload == "laplace":
             # plotting_laplace.py:13-90 testing plots (gradient panels)
             from marlpde_tpu.analysis import evaluation
