@@ -35,11 +35,14 @@ import jax.numpy as jnp  # noqa: E402
 from marlpde_tpu.envs import ks_env  # noqa: E402
 
 N_POOL = 16
+GRID = int(os.environ.get("KS_STUDY_GRID", 32))
 
 
 def build():
-    cfg = ks_env.KSEnvConfig()
-    pool = ks_env.make_dns_pool(cfg, N_POOL, dtype=jnp.float64)
+    cfg = ks_env.KSEnvConfig(grid_size=GRID, num_actions=GRID)
+    pool = ks_env.make_dns_pool(
+        cfg, N_POOL,
+        dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
     return cfg, pool
 
 
@@ -86,7 +89,7 @@ def main():
     episode = make_episode(cfg)
     half = cfg.grid_size // 2 + 1
     k = np.fft.rfftfreq(cfg.grid_size, cfg.L / (2 * np.pi * cfg.grid_size))
-    zero = jnp.zeros(half, jnp.float64)
+    zero = jnp.zeros(half, pool.uu.dtype)
 
     base = np.array([float(episode(pool, jnp.asarray(i), zero, 0))
                      for i in range(N_POOL)])
@@ -103,7 +106,7 @@ def main():
     train_rows, test_rows = range(8), range(8, 16)
     scan = {}
     for e4 in (-0.004, -0.002, -0.001, -0.0005, 0.0005, 0.001, 0.002, 0.004):
-        gains = jnp.asarray(e4 * k ** 4)
+        gains = jnp.asarray(e4 * k ** 4, pool.uu.dtype)
         tr = np.array([float(episode(pool, jnp.asarray(i), gains, 1))
                        for i in train_rows])
         scan[e4] = tr.mean()
@@ -112,7 +115,7 @@ def main():
     best_e4 = max(scan, key=scan.get)
     out_rows = {}
     if scan[best_e4] > base[:8].mean():
-        gains = jnp.asarray(best_e4 * k ** 4)
+        gains = jnp.asarray(best_e4 * k ** 4, pool.uu.dtype)
         te = np.array([float(episode(pool, jnp.asarray(i), gains, 1))
                        for i in test_rows])
         d_t = te - base[8:]
@@ -134,9 +137,9 @@ def main():
                oracle_wins=int((d_o > 0).sum()),
                e4_scan={str(kk): float(v) for kk, v in scan.items()},
                robust_e4=out_rows)
-    with open("results/ks_mean_study_r5.json", "w") as f:
+    with open(f"results/ks_mean_study_g{GRID}_r5.json", "w") as f:
         json.dump(out, f, indent=1)
-    print("[mean_study] wrote results/ks_mean_study_r5.json", flush=True)
+    print(f"[mean_study] wrote results/ks_mean_study_g{GRID}_r5.json", flush=True)
 
 
 if __name__ == "__main__":
