@@ -323,11 +323,13 @@ def observe_episodes(cfg: VracerConfig, ts: TrainState, batch) -> TrainState:
             # cumulative scale is meaningless, but a spike generation DURING
             # warm-up can still permanently inflate it (the flagship-911
             # failure mode this channel targets).  Until warm, clip against
-            # the batch's own robust scale — winsor * the 90th percentile of
-            # the valid |rewards| in this very batch — so only the extreme
-            # tail is touched regardless of the (unknown) reward units.
+            # the batch's own robust scale — winsor * the MEDIAN of the valid
+            # |rewards| in this very batch (median, not a high quantile: it
+            # stays bulk-anchored under <50% spike contamination, and
+            # winsor*median(|N(0,s)|) ~ 6.7s leaves the legitimate Gaussian
+            # tail untouched).
             absr = jnp.where(w > 0, jnp.abs(r_stat), jnp.nan)
-            q = jnp.nanquantile(absr.reshape(-1), 0.9)
+            q = jnp.nanquantile(absr.reshape(-1), 0.5)
             q = jnp.where(jnp.isnan(q), 0.0, jnp.maximum(q, 1e-30))
             lim = cfg.reward_stat_winsor * jnp.where(warm, cur, q)
             r_stat = jnp.clip(r_stat, -lim, lim)

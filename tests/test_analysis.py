@@ -131,6 +131,31 @@ class TestCheckpoint:
             np.asarray(jax.random.key_data(key)))
         assert ckpt.load_meta(str(tmp_path / "nope")) is None
 
+    def test_meta_fingerprint_roundtrip_and_mismatch(self, tmp_path):
+        # round-5 (ADVICE r4 medium): mu_param/cutoff_dim_norm persisted in
+        # meta.npz; a cross-mode restore must fail loudly, not silently
+        # rescale the policy mean
+        from marlpde_tpu.rl import vracer
+        key = jax.random.key(3)
+        cfg = vracer.VracerConfig(obs_dim=4, act_dim=2, num_agents=1,
+                                  episode_length=5, action_low=-1.0,
+                                  action_high=1.0, mu_param="sigma_relative",
+                                  cutoff_dim_norm=True)
+        ckpt.save_meta(str(tmp_path), key, gen=1, total_exp=10,
+                       episode_base=2, rl_cfg=cfg)
+        m = ckpt.load_meta(str(tmp_path))
+        assert m["mu_param"] == "sigma_relative" and m["cutoff_dim_norm"]
+        ckpt.check_fingerprint(str(tmp_path), cfg)   # match: no raise
+        import dataclasses as dc
+        import pytest as pt
+        bad = dc.replace(cfg, mu_param="absolute")
+        with pt.raises(SystemExit):
+            ckpt.check_fingerprint(str(tmp_path), bad)
+        # pre-fingerprint checkpoints only warn
+        ckpt.save_meta(str(tmp_path / "old"), key, gen=1, total_exp=10,
+                       episode_base=2)
+        ckpt.check_fingerprint(str(tmp_path / "old"), cfg)
+
     def test_replay_roundtrip_episode_layout(self, tmp_path):
         from marlpde_tpu.rl import replay as replay_mod
         rep = replay_mod.init(3, 4, 2, 5, 1)

@@ -447,6 +447,24 @@ class TestFlatExperienceReplay:
         np.testing.assert_allclose(float(ts3.beta),
                                    (1 - cfg.lr) * cfg.refer_beta, rtol=1e-4)
 
+    def test_winsor_warmup_guard_bounds_cold_spikes(self, rng):
+        """ADVICE r4: before the reward accumulator is warm (count <= 1000),
+        a spike generation could permanently inflate the cumulative Welford
+        scale (the flagship-911 failure).  The warm-up guard clips against
+        the batch's own 90th percentile, so one -1e3 spike among ~0.01-scale
+        rewards must leave the scale near the bulk's, not the spike's."""
+        from marlpde_tpu.rl import running_stats
+        cfg = vracer.VracerConfig(obs_dim=3, act_dim=1, episode_length=5,
+                                  num_agents=1)
+        ts = vracer.init_train(cfg, jax.random.key(0))
+        batch = self._batch(rng)
+        batch["rewards"] = batch["rewards"] * 0.01
+        batch["rewards"] = batch["rewards"].at[0, 2, 0].set(-1e3)
+        ts1 = vracer.observe_episodes(cfg, ts, batch)
+        scale = float(running_stats.second_moment(ts1.rew_stats))
+        assert scale < 1.0, scale          # unclipped spike would give ~260
+        assert scale > 1e-4                # bulk statistics still recorded
+
     def test_state_rescaling_freezes_after_first_update(self, rng):
         """korali computes State Rescaling once from the replay-start buffer;
         observe_episodes must stop accumulating once updates begin."""
