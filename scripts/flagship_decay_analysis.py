@@ -1,7 +1,8 @@
 """Flagship late-decay analysis from the --diag histories (round-5 item 2).
 
-Reads _result_burger-marl_{914,915}/history.json (914 = the 912 config with
-per-generation diagnostics; 915 = the gamma=0.995 contraction A/B), writes
+Reads _result_burger-marl_{914,915,916}/history.json (914 = the 912 config
+with per-generation diagnostics; 915 = the gamma=0.995 contraction A/B;
+916 = the off-policy-budget D=0.05 A/B), writes
 results/flagship_r5/decay_diag.json with the correlation evidence and a
 4-panel diagnostic figure (deterministic test return, value bias, policy-mean
 scale/drift, reward scale) in the rlview style.
@@ -40,6 +41,9 @@ def load(run):
 
 def stats(r):
     bias = r["v0"] - r["ret"]
+    # blowup generations make return_scaled +-inf; exclude them from the
+    # correlation/extreme statistics (keep the trace for the plot)
+    bias = np.where(np.isfinite(bias), bias, np.nan)
     t = r["tests"]
     peak = int(t.argmax())
     post = slice(peak, len(t))
@@ -50,14 +54,15 @@ def stats(r):
         peak_gen=(peak + 1) * 10, peak_test=float(t[peak]),
         final_test=float(t[-1]),
         final_over_peak=float(t[-1] / t[peak]),
-        corr_test_negabsbias_postpeak=float(
-            np.corrcoef(t[post], -np.abs(b10[post]))[0, 1]),
+        corr_test_negabsbias_postpeak=float(np.corrcoef(
+            t[post][np.isfinite(b10[post])],
+            -np.abs(b10[post][np.isfinite(b10[post])]))[0, 1]),
         corr_test_negdrift_postpeak=float(
             np.corrcoef(t[post], -dr10[post])[0, 1]),
         corr_test_negmurms_postpeak=float(
             np.corrcoef(t[post], -mu10[post])[0, 1]),
         mu_rms_at_peak=float(mu10[peak]), mu_rms_final=float(mu10[-1]),
-        bias_absmax=float(np.abs(bias).max()))
+        bias_absmax=float(np.nanmax(np.abs(bias))))
     return out, bias
 
 
@@ -66,7 +71,7 @@ def main():
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    runs = [r for r in (load(914), load(915)) if r is not None]
+    runs = [r for r in (load(914), load(915), load(916)) if r is not None]
     assert runs, "no --diag histories found"
     os.makedirs("results/flagship_r5", exist_ok=True)
 
@@ -75,8 +80,8 @@ def main():
     for r in runs:
         s, bias = stats(r)
         summary[str(r["run"])] = s
-        lbl = f"{r['run']}" + (" (gamma=0.995)" if r["run"] == 915 else
-                               " (912 cfg, gamma=1.0)")
+        lbl = {914: "914 (912 cfg, gamma=1.0)", 915: "915 (gamma=0.995)",
+               916: "916 (off-policy D=0.05)"}[r["run"]]
         tg = np.arange(1, len(r["tests"]) + 1) * 10
         axes[0, 0].plot(tg, r["tests"], label=lbl)
         axes[0, 1].plot(r["gens"], bias, label=lbl)
