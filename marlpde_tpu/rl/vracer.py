@@ -328,10 +328,16 @@ def observe_episodes(cfg: VracerConfig, ts: TrainState, batch) -> TrainState:
             # stays bulk-anchored under <50% spike contamination, and
             # winsor*median(|N(0,s)|) ~ 6.7s leaves the legitimate Gaussian
             # tail untouched).
-            absr = jnp.where(w > 0, jnp.abs(r_stat), jnp.nan)
-            q = jnp.nanquantile(absr.reshape(-1), 0.5)
-            q = jnp.where(jnp.isnan(q), 0.0, jnp.maximum(q, 1e-30))
-            lim = cfg.reward_stat_winsor * jnp.where(warm, cur, q)
+            def batch_median(_):
+                # the median is a full sort of the generation's rewards —
+                # lax.cond keeps it off the hot path once the accumulator
+                # is warm (it cost ~15% of a fused flagship generation)
+                absr = jnp.where(w > 0, jnp.abs(r_stat), jnp.nan)
+                q = jnp.nanquantile(absr.reshape(-1), 0.5)
+                return jnp.where(jnp.isnan(q), 0.0, jnp.maximum(q, 1e-30))
+
+            ref = jax.lax.cond(warm, lambda _: cur, batch_median, None)
+            lim = cfg.reward_stat_winsor * ref
             r_stat = jnp.clip(r_stat, -lim, lim)
         new_rew = running_stats.update(new_rew, r_stat.reshape(-1),
                                        weights=w.reshape(-1))
