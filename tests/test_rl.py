@@ -725,8 +725,12 @@ class TestBlowupContainment:
             "burger", N_dns=64, grid_size=16, num_actions=16, num_agents=4,
             dt=0.01, T=1.0, nu=0.02, episode_length=20, ic_case="turbulence",
             spectral_reward=True, noise=0.0, dforce=False)
+        # the negative control disables the WHOLE containment stack: floor
+        # off AND winsor off (the round-5 warm-up guard would otherwise
+        # median-clip the -inf out of the cold-phase statistics on its own)
         rl_cfg = trainer.default_rl_config(
             env, width=16, init_noise=3.0, reward_floor=-np.inf,
+            reward_stat_winsor=0.0,
             replay_start_experiences=40, replay_max_experiences=4000,
             mini_batch_episodes=2)
         tc = trainer.TrainerConfig(num_envs=4, max_experiences=800,
@@ -734,7 +738,7 @@ class TestBlowupContainment:
         ts, rep, hist = trainer.train(env, rl_cfg, tc, verbose=False)
         finite = all(np.all(np.isfinite(np.asarray(l)))
                      for l in jax.tree.leaves(ts.params))
-        assert not finite, "expected NaN poisoning with floor disabled"
+        assert not finite, "expected NaN poisoning with containment disabled"
 
 
 class TestSigmaMax:
