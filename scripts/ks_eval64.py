@@ -49,7 +49,8 @@ def main():
     rl_cfg = trainer.default_rl_config(
         env, width=256, init_noise=0.01, mu_param="sigma_relative",
         cutoff_dim_norm=True)
-    ts = ckpt.load_train_state("_result_ks_925/best", rl_cfg)
+    ckpt_dir = os.environ.get("KS_EVAL_CKPT", "_result_ks_925/best")
+    ts = ckpt.load_train_state(ckpt_dir, rl_cfg)
     assert ts is not None
 
     k = np.fft.rfftfreq(16, cfg.L / (2 * np.pi * 16))
@@ -75,22 +76,23 @@ def main():
                                     length=cfg.episode_length)
         return rews.sum()
 
-    names = {0: "uncontrolled", 1: "policy_925_best", 2: "e4_feedback"}
+    tag = os.environ.get("KS_EVAL_TAG", "policy_925_best")
+    names = {0: "uncontrolled", 1: tag, 2: "e4_feedback"}
     scores = {v: np.array([float(episode(jnp.asarray(i), m))
                            for i in range(N_POOL)])
               for m, v in names.items()}
 
-    def block(sel, tag):
+    def block(sel, label):
         out = {}
         for v, s in scores.items():
             x = s[sel]
             out[v] = dict(mean=float(x.mean()),
                           sem=float(x.std(ddof=1) / np.sqrt(len(x))))
-        d = scores["policy_925_best"][sel] - scores["uncontrolled"][sel]
+        d = scores[tag][sel] - scores["uncontrolled"][sel]
         out["policy_improvement"] = dict(
             mean=float(d.mean()), sem=float(d.std(ddof=1) / np.sqrt(len(d))),
             wins=int((d > 0).sum()), n=int(len(d)))
-        print(f"[eval64] {tag}: " + "  ".join(
+        print(f"[eval64] {label}: " + "  ".join(
             f"{v} {out[v]['mean']:+.5f}+-{out[v]['sem']:.5f}"
             for v in names.values()) +
             f"  wins {out['policy_improvement']['wins']}/{len(d)}", flush=True)
@@ -99,9 +101,10 @@ def main():
     res = dict(train_rows=block(slice(0, 16), "train rows 0-15"),
                heldout_rows=block(slice(16, 64), "held-out rows 16-63"),
                all_rows=block(slice(0, 64), "all rows"))
-    with open("results/ks_eval64_r5.json", "w") as f:
+    out_name = os.environ.get("KS_EVAL_OUT", "results/ks_eval64_r5.json")
+    with open(out_name, "w") as f:
         json.dump(res, f, indent=1)
-    print("[eval64] wrote results/ks_eval64_r5.json", flush=True)
+    print(f"[eval64] wrote {out_name}", flush=True)
 
 
 if __name__ == "__main__":
