@@ -71,7 +71,7 @@ def main():
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    runs = [r for r in (load(914), load(915), load(916)) if r is not None]
+    runs = [r for r in (load(914), load(915), load(916), load(917)) if r is not None]
     assert runs, "no --diag histories found"
     os.makedirs("results/flagship_r5", exist_ok=True)
 
@@ -81,7 +81,8 @@ def main():
         s, bias = stats(r)
         summary[str(r["run"])] = s
         lbl = {914: "914 (912 cfg, gamma=1.0)", 915: "915 (gamma=0.995)",
-               916: "916 (off-policy D=0.05)"}[r["run"]]
+               916: "916 (off-policy D=0.05)",
+               917: "917 (trust=forward KL)"}[r["run"]]
         tg = np.arange(1, len(r["tests"]) + 1) * 10
         axes[0, 0].plot(tg, r["tests"], label=lbl)
         axes[0, 1].plot(r["gens"], bias, label=lbl)
